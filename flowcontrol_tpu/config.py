@@ -1,0 +1,42 @@
+"""Global numerical configuration for flowcontrol_tpu.
+
+Precision policy
+----------------
+Host-side setup (mesh, DOF maps, global sparse assembly, steady-state Newton)
+always runs in float64 numpy/scipy: it is one-time work and accuracy matters.
+
+Device-side hot loops (time stepping, batched rollouts) default to float32 on
+TPU (native MXU/VPU precision) and float64 on CPU (where JAX x64 is cheap and
+lets the test-suite validate bit-level physics). Override per-solver via the
+``dtype`` arguments, or globally here.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+# Enable x64 so host-offloaded solves and CPU test runs are double precision.
+# TPU kernels explicitly cast to float32 where performance matters.
+jax.config.update("jax_enable_x64", True)
+
+#: numpy dtype used for all host-side (setup-time) arithmetic.
+HOST_DTYPE = np.float64
+
+#: integer dtype for DOF maps / connectivity on device.
+INDEX_DTYPE = np.int32
+
+
+def default_device_dtype():
+    """float32 on TPU (fast path), float64 elsewhere (exactness path)."""
+    if os.environ.get("FLOWCONTROL_TPU_FORCE_DTYPE") in ("f32", "float32"):
+        return np.float32
+    if os.environ.get("FLOWCONTROL_TPU_FORCE_DTYPE") in ("f64", "float64"):
+        return np.float64
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return np.float32 if platform in ("tpu", "axon") else np.float64
