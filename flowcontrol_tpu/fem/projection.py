@@ -1,0 +1,108 @@
+"""L2 projection onto velocity / pressure spaces (host-side, setup-time).
+
+Replaces utils.fem.projectm (ref: src/utils/fem.py:16 — project with MUMPS):
+solve ``M x = b`` with the velocity (or pressure) mass matrix, optionally
+applying Dirichlet BCs to the projection system as dolfin.project does.
+Used for initial conditions and diagnostics — not on the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from flowcontrol_tpu.fem.assembly import (
+    CellGeometry,
+    scalar_mass_p1,
+    scalar_mass_p2,
+    quadrature_points_physical,
+)
+from flowcontrol_tpu.mesh.dofmap import TaylorHoodSpace
+
+
+def velocity_mass_csr(geom: CellGeometry, space: TaylorHoodSpace):
+    """Velocity-space scalar mass matrix (n_vnodes, n_vnodes) CSR."""
+    m6 = np.asarray(scalar_mass_p2(geom), dtype=np.float64)
+    cn = space.cell_vel_nodes
+    rows = np.repeat(cn, 6, axis=1).reshape(-1)
+    cols = np.tile(cn, (1, 6)).reshape(-1)
+    return sp.coo_matrix(
+        (m6.reshape(-1), (rows, cols)), shape=(space.n_vnodes, space.n_vnodes)
+    ).tocsr()
+
+
+def pressure_mass_csr(geom: CellGeometry, space: TaylorHoodSpace):
+    m3 = np.asarray(scalar_mass_p1(geom), dtype=np.float64)
+    cells = space.mesh.cells
+    rows = np.repeat(cells, 3, axis=1).reshape(-1)
+    cols = np.tile(cells, (1, 3)).reshape(-1)
+    nv = space.mesh.num_vertices
+    return sp.coo_matrix((m3.reshape(-1), (rows, cols)), shape=(nv, nv)).tocsr()
+
+
+def project_velocity(
+    geom: CellGeometry,
+    space: TaylorHoodSpace,
+    fn,
+    bc_vel_nodes: np.ndarray | None = None,
+    bc_values: np.ndarray | None = None,
+) -> np.ndarray:
+    """L2-project ``fn(x) -> (n, 2)`` onto P2 velocity; returns (n_vnodes, 2).
+
+    ``bc_vel_nodes``/``bc_values``: optional Dirichlet constraints applied to
+    the projection system per component (ref: flowsolver.py:532 —
+    projectm(ic.u, V, bcs=bc.bcu)). ``bc_values`` is (m, 2); a NaN entry
+    means "leave this component unconstrained".
+    """
+    m = velocity_mass_csr(geom, space)
+    qp = quadrature_points_physical(space)  # (nc, 7, 2)
+    fq = np.asarray(fn(qp.reshape(-1, 2)), dtype=np.float64).reshape(qp.shape[0], 7, 2)
+    # rhs_a,d = sum_q wq phi2[q,a] f_d(q)
+    r_e = np.einsum("cq,qa,cqd->cad", geom.wq, geom.phi2, fq)
+    b = np.zeros((space.n_vnodes, 2))
+    np.add.at(b, space.cell_vel_nodes.reshape(-1), r_e.reshape(-1, 2))
+
+    out = np.empty((space.n_vnodes, 2))
+    for comp in range(2):
+        mm = m
+        bb = b[:, comp].copy()
+        if bc_vel_nodes is not None and len(bc_vel_nodes):
+            vals = bc_values[:, comp]
+            mask = ~np.isnan(vals)
+            nodes = np.asarray(bc_vel_nodes)[mask]
+            vv = vals[mask]
+            if len(nodes):
+                mm = m.tolil(copy=True)
+                mm[nodes, :] = 0.0
+                mm[nodes, nodes] = 1.0
+                mm = mm.tocsr()
+                bb[nodes] = vv
+        out[:, comp] = spla.spsolve(mm.tocsc(), bb)
+    return out
+
+
+def project_pressure(geom: CellGeometry, space: TaylorHoodSpace, fn) -> np.ndarray:
+    m = pressure_mass_csr(geom, space)
+    qp = quadrature_points_physical(space)
+    fq = np.asarray(fn(qp.reshape(-1, 2)), dtype=np.float64).reshape(qp.shape[0], 7)
+    r_e = np.einsum("cq,qb,cq->cb", geom.wq, geom.phi1, fq)
+    b = np.zeros(space.mesh.num_vertices)
+    np.add.at(b, space.mesh.cells.reshape(-1), r_e.reshape(-1))
+    return spla.spsolve(m.tocsc(), b)
+
+
+def l2_norm_velocity(geom: CellGeometry, space: TaylorHoodSpace, u_nodes) -> float:
+    """Exact ||u||_L2 of a P2 velocity field (via element mass blocks)."""
+    m6 = scalar_mass_p2(geom)
+    u_e = np.asarray(u_nodes)[space.cell_vel_nodes, :]
+    val = np.einsum("cab,cad,cbd->", m6, u_e, u_e)
+    return float(np.sqrt(max(val, 0.0)))
+
+
+def l2_norm_function(geom: CellGeometry, space: TaylorHoodSpace, fn) -> float:
+    """||f||_L2 of an arbitrary vector function via quadrature."""
+    qp = quadrature_points_physical(space)
+    fq = np.asarray(fn(qp.reshape(-1, 2))).reshape(qp.shape[0], 7, -1)
+    val = np.einsum("cq,cqd,cqd->", geom.wq, fq, fq)
+    return float(np.sqrt(max(val, 0.0)))
