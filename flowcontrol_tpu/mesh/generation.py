@@ -230,7 +230,6 @@ def cylinder_mesh(**mesh_param) -> Mesh2D:
     lint, yint, xplus = prm["lint"], prm["yint"], prm["xplus"]
     xm0, xm1 = xinfa + prm["inftola"], xinf - prm["inftol"]
 
-    h_cyl = min(h1, 2 * np.pi / prm["segments"] * r * 2 * np.pi / (2 * np.pi))
     h_cyl = min(h1, 2 * np.pi * r / prm["segments"])
     pts = [
         _rect_boundary(xinfa, -yinf, xinf, yinf, h3),
@@ -263,9 +262,8 @@ def cylinder_mesh(**mesh_param) -> Mesh2D:
     pts += [lat3, lat2, lat1]
 
     points = np.concatenate(pts, axis=0)
-    # clear points too close to the cylinder rings / boundary, inside hole
+    # drop points inside the cylinder hole
     rad = np.sqrt(points[:, 0] ** 2 + points[:, 1] ** 2)
-    points = points[(rad > r - 1e-12) | (rad < 1e-9)]
     points = points[rad >= r - 1e-12]
     # clip into domain box
     points = points[
