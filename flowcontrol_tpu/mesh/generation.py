@@ -130,6 +130,35 @@ def _dedupe(points: np.ndarray, min_dist: float) -> np.ndarray:
     return points[~drop]
 
 
+def _merge_point_groups(groups) -> np.ndarray:
+    """Merge (points, h) groups in priority order, density-aware.
+
+    A candidate point is rejected when it lies within 0.6·min(h_new, h_near)
+    of an already-accepted point — this is what prevents sliver triangles at
+    zone interfaces and along fixed boundaries.
+    """
+    from scipy.spatial import cKDTree
+
+    acc_pts: list[np.ndarray] = []
+    acc_h: list[np.ndarray] = []
+    for pts, h in groups:
+        pts = np.asarray(pts, dtype=HOST_DTYPE)
+        if len(pts) == 0:
+            continue
+        hs = np.full(len(pts), h, dtype=HOST_DTYPE)
+        if acc_pts:
+            all_pts = np.concatenate(acc_pts)
+            all_h = np.concatenate(acc_h)
+            tree = cKDTree(all_pts)
+            d, idx = tree.query(pts)
+            limit = 0.6 * np.minimum(hs, all_h[idx])
+            keep = d > limit
+            pts, hs = pts[keep], hs[keep]
+        acc_pts.append(pts)
+        acc_h.append(hs)
+    return np.concatenate(acc_pts)
+
+
 def _smooth(mesh: Mesh2D, fixed: np.ndarray, n_iter: int = 8) -> Mesh2D:
     """Laplacian smoothing of non-fixed vertices."""
     coords = mesh.coords.copy()
@@ -231,51 +260,46 @@ def cylinder_mesh(**mesh_param) -> Mesh2D:
     xm0, xm1 = xinfa + prm["inftola"], xinf - prm["inftol"]
 
     h_cyl = min(h1, 2 * np.pi * r / prm["segments"])
-    pts = [
-        _rect_boundary(xinfa, -yinf, xinf, yinf, h3),
-        _circle_points(0, 0, r, max(prm["segments"], int(2 * np.pi * r / h_cyl))),
-    ]
+    circle = _circle_points(0, 0, r, max(prm["segments"], int(2 * np.pi * r / h_cyl)))
+    boundary = _rect_boundary(xinfa, -yinf, xinf, yinf, h3)
+    groups = [(circle, h_cyl), (boundary, h3)]
     # graded rings around the cylinder from h_cyl up to h1
-    rr = r
-    h = h_cyl
+    rr, h = r, h_cyl
     while rr < 2.5 * r:
         rr += h
-        pts.append(_circle_points(0, 0, rr, max(8, int(2 * np.pi * rr / h))))
+        groups.append(
+            (_circle_points(0, 0, rr, max(8, int(2 * np.pi * rr / h))), h)
+        )
         h = min(h1, h * 1.3)
-    fixed = np.concatenate(pts[:2])
+    fixed = np.concatenate([circle, boundary])
 
     def in_zone1(p):
-        return (
-            (p[:, 0] > -lint) & (p[:, 0] < xplus) & (np.abs(p[:, 1]) < lint)
-        )
+        return (p[:, 0] > -lint) & (p[:, 0] < xplus) & (np.abs(p[:, 1]) < lint)
 
     def in_zone2(p):
         return (p[:, 0] > xm0) & (p[:, 0] < xm1) & (np.abs(p[:, 1]) < yint)
 
-    # zone lattices, outermost first; finer zones drop coarser points
-    lat3 = _hex_lattice(xinfa, xinf, -yinf, yinf, h3)
-    lat3 = lat3[~in_zone2(lat3)]
-    lat2 = _hex_lattice(xm0, xm1, -yint, yint, h2)
-    lat2 = lat2[in_zone2(lat2) & ~in_zone1(lat2)]
+    # zone lattices, finest first so they win the density merge
     lat1 = _hex_lattice(-lint, xplus, -lint, lint, h1)
     lat1 = lat1[in_zone1(lat1)]
-    pts += [lat3, lat2, lat1]
+    lat2 = _hex_lattice(xm0, xm1, -yint, yint, h2)
+    lat2 = lat2[in_zone2(lat2) & ~in_zone1(lat2)]
+    lat3 = _hex_lattice(xinfa, xinf, -yinf, yinf, h3)
+    lat3 = lat3[~in_zone2(lat3)]
+    groups += [(lat1, h1), (lat2, h2), (lat3, h3)]
 
-    points = np.concatenate(pts, axis=0)
-    # drop points inside the cylinder hole
+    points = _merge_point_groups(groups)
+    # drop points inside the cylinder hole and clip to the domain box
     rad = np.sqrt(points[:, 0] ** 2 + points[:, 1] ** 2)
     points = points[rad >= r - 1e-12]
-    # clip into domain box
     points = points[
         (points[:, 0] >= xinfa - 1e-9)
         & (points[:, 0] <= xinf + 1e-9)
         & (np.abs(points[:, 1]) <= yinf + 1e-9)
     ]
-    points = _dedupe(points, 0.45 * h_cyl)
 
     def inside(p):
-        rad_c = np.sqrt(p[:, 0] ** 2 + p[:, 1] ** 2)
-        return rad_c > r
+        return np.sqrt(p[:, 0] ** 2 + p[:, 1] ** 2) > r
 
     return _delaunay_mesh(points, inside, fixed)
 
@@ -321,8 +345,8 @@ def cavity_mesh(**mesh_param) -> Mesh2D:
         # finer spacing near the cavity/shear-layer region
         mid = 0.5 * (np.asarray(p0) + np.asarray(p1))
         hseg = h1 if (xl - 0.4 <= mid[0] <= xr + 0.4 and mid[1] <= 0.3) else h0
-        bnd.append(_boundary_points(p0, p1, hseg))
-    fixed = np.concatenate(bnd)
+        bnd.append((_boundary_points(p0, p1, hseg), hseg))
+    fixed = np.concatenate([b[0] for b in bnd])
 
     def in_fine(p):  # shear layer over the cavity mouth
         return (
@@ -346,7 +370,9 @@ def cavity_mesh(**mesh_param) -> Mesh2D:
     lat_f = _hex_lattice(xl - 0.3, xr + 0.3, -0.35, 0.25, h2)
     lat_f = lat_f[in_fine(lat_f)]
 
-    points = np.concatenate([fixed, lat0, lat_m, lat_f], axis=0)
+    points = _merge_point_groups(
+        bnd + [(lat_f, h2), (lat_m, h1), (lat0, h0)]
+    )
 
     def inside(p):
         in_channel = (
@@ -361,7 +387,6 @@ def cavity_mesh(**mesh_param) -> Mesh2D:
         | inside(points + np.array([[1e-9, 0.0]]))
         | inside(points - np.array([[1e-9, 0.0]]))
     ]
-    points = _dedupe(points, 0.4 * h2)
     return _delaunay_mesh(points, inside, fixed)
 
 
@@ -406,17 +431,21 @@ def pinball_mesh(**mesh_param) -> Mesh2D:
     centers = pinball_centers(prm["D"])
     h_cyl = min(h1, 2 * np.pi * r / prm["segments"])
 
-    pts = [_rect_boundary(xinfa, -yinf, xinf, yinf, h3)]
-    fixed = [pts[0][:0]]
+    boundary = _rect_boundary(xinfa, -yinf, xinf, yinf, h3)
+    groups = []
+    fixed = [boundary]
     for cx, cy in centers:
         circ = _circle_points(cx, cy, r, max(prm["segments"], 16))
-        pts.append(circ)
+        groups.append((circ, h_cyl))
         fixed.append(circ)
         rr, h = r, h_cyl
         while rr < 2.0 * r:
             rr += h
-            pts.append(_circle_points(cx, cy, rr, max(8, int(2 * np.pi * rr / h))))
+            groups.append(
+                (_circle_points(cx, cy, rr, max(8, int(2 * np.pi * rr / h))), h)
+            )
             h = min(h1, h * 1.3)
+    groups.append((boundary, h3))
 
     def in_zone1(p):
         return (p[:, 0] > -2.5) & (p[:, 0] < 4.0) & (np.abs(p[:, 1]) < 2.0)
@@ -424,15 +453,15 @@ def pinball_mesh(**mesh_param) -> Mesh2D:
     def in_zone2(p):
         return (p[:, 0] > -4.0) & (p[:, 0] < 14.0) & (np.abs(p[:, 1]) < 3.0)
 
-    lat3 = _hex_lattice(xinfa, xinf, -yinf, yinf, h3)
-    lat3 = lat3[~in_zone2(lat3)]
-    lat2 = _hex_lattice(-4.0, 14.0, -3.0, 3.0, h2)
-    lat2 = lat2[in_zone2(lat2) & ~in_zone1(lat2)]
     lat1 = _hex_lattice(-2.5, 4.0, -2.0, 2.0, h1)
     lat1 = lat1[in_zone1(lat1)]
-    pts += [lat3, lat2, lat1]
+    lat2 = _hex_lattice(-4.0, 14.0, -3.0, 3.0, h2)
+    lat2 = lat2[in_zone2(lat2) & ~in_zone1(lat2)]
+    lat3 = _hex_lattice(xinfa, xinf, -yinf, yinf, h3)
+    lat3 = lat3[~in_zone2(lat3)]
+    groups += [(lat1, h1), (lat2, h2), (lat3, h3)]
 
-    points = np.concatenate(pts, axis=0)
+    points = _merge_point_groups(groups)
     for cx, cy in centers:
         rad = np.sqrt((points[:, 0] - cx) ** 2 + (points[:, 1] - cy) ** 2)
         points = points[rad >= r - 1e-12]
@@ -441,7 +470,6 @@ def pinball_mesh(**mesh_param) -> Mesh2D:
         & (points[:, 0] <= xinf + 1e-9)
         & (np.abs(points[:, 1]) <= yinf + 1e-9)
     ]
-    points = _dedupe(points, 0.45 * h_cyl)
 
     def inside(p):
         ok = np.ones(len(p), dtype=bool)
