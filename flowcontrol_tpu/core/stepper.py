@@ -9,12 +9,17 @@ Replaces the reference's per-step assemble + MUMPS back-substitution
     x    = LU back-substitution with device-resident factors
     y    = C @ x  (sensor rows),  dE = ½ xᵀM x,  divergence flag
 
-Whole rollouts run under ``lax.scan`` (optionally chunked for checkpoint
-I/O), and ``vmap`` over initial conditions / controller parameters turns the
-engine into a batched rollout machine (BASELINE.json north star).
+All device state (element tensors, LU factors, lifting vectors, sensor rows)
+is passed into the jitted step as a pytree ARGUMENT — never captured as a
+constant — so factors stay resident in HBM across calls and compile stays
+fast. Whole rollouts run under ``lax.scan`` (optionally chunked for
+checkpoint I/O), and ``vmap`` over initial conditions / controller
+parameters turns the engine into a batched rollout machine (BASELINE.json
+north star).
 
 Time-scheme order ramp (BDF1 first step → BDF2 after; ref:
-flowsolver.py:740-743) is handled with ``lax.cond`` over two factor sets.
+flowsolver.py:740-743) is handled with ``lax.cond`` over the two operator
+sets.
 """
 
 from __future__ import annotations
@@ -34,7 +39,7 @@ from flowcontrol_tpu.fem.assembly import (
     to_scipy_csr,
 )
 from flowcontrol_tpu.fem.bc import BCSet
-from flowcontrol_tpu.solvers.direct import HostDenseLUOnDevice, HostSparseLU, dense_lu_solve
+from flowcontrol_tpu.solvers.direct import HostSparseLU, dense_lu_solve
 
 
 class StepCarry(NamedTuple):
@@ -51,7 +56,7 @@ class StepOutput(NamedTuple):
     y: jnp.ndarray  # sensor measurements (ns,)
     dE: jnp.ndarray  # perturbation kinetic energy
     diverged: jnp.ndarray  # bool
-    x: jnp.ndarray  # full state (only captured when requested)
+    x: jnp.ndarray  # full state
 
 
 @dataclass
@@ -65,9 +70,11 @@ class Stepper:
     c_rows: np.ndarray  # (ns, n) sensor matrix
     force_cols: np.ndarray  # (n_act, n) body-force load vectors
     scheme: str = "bdf"  # 'bdf' or 'cn'
-    backend: str = "dense_lu"  # 'dense_lu' | 'host_lu'
+    backend: str = "dense_lu"  # 'dense_lu' | 'host_lu' | 'gmres'
     dtype: Any = np.float64
     start_order: Any = 1  # 1 or 2 or 'cn' (restart_order)
+    gmres_iters: int = 30
+    gmres_restarts: int = 2
 
     def __post_init__(self):
         forms, space, bcs = self.forms, self.space, self.bcs
@@ -79,119 +86,168 @@ class Stepper:
 
         orders = ("cn",) if self.scheme == "cn" else (1, 2)
         self._orders = orders
-        self._solvers = {}
-        self._lift_act = {}
-        self._lift_static = {}
+        self._order_idx = {o: i for i, o in enumerate(orders)}
         self._host_lus = {}
-        profiles = bcs.g_profiles()[:, bcs.dofs] if self.n_act else np.zeros((0, len(bcs.dofs)))
+
+        profiles = (
+            bcs.g_profiles()[:, bcs.dofs]
+            if self.n_act
+            else np.zeros((0, len(bcs.dofs)))
+        )
+
+        dev: dict = {}
+        dev["solvers"] = []
+        dev["lift_act"] = []
+        dev["lift_static"] = []
+        dev["lhs_e"] = []
+        free_mask = bcs.free_mask.astype(np.float64)
         for order in orders:
             lhs_e = forms.transient_lhs(order, u0)
             a_csr = to_scipy_csr(lhs_e, space.cell_dofs, n)
             a_bc, lift_cols = bcs.eliminate_csr(a_csr)
-            la = (
-                (lift_cols @ profiles.T).T
-                if self.n_act
-                else np.zeros((0, n))
-            )
-            self._lift_act[order] = jnp.asarray(la, dtype=dt)
-            self._lift_static[order] = jnp.asarray(lift_cols @ bcs.values, dtype=dt)
+            la = (lift_cols @ profiles.T).T if self.n_act else np.zeros((0, n))
+            dev["lift_act"].append(jnp.asarray(la, dtype=dt))
+            dev["lift_static"].append(jnp.asarray(lift_cols @ bcs.values, dtype=dt))
             if self.backend == "dense_lu":
-                self._solvers[order] = HostDenseLUOnDevice(
-                    np.asarray(a_bc.todense()), device_dtype=dt
-                ).tree()
-            else:
-                self._host_lus[order] = HostSparseLU(a_bc)
+                import scipy.linalg as sla
 
-        # device tables
-        self._geom_dev = geometry_device_tables(forms.geom, dtype=dt)
-        self._m_e = jnp.asarray(forms.mass_elements(), dtype=dt)
-        self._cell_dofs = jnp.asarray(space.cell_dofs)
+                lu, piv = sla.lu_factor(np.asarray(a_bc.todense()))
+                dev["solvers"].append(
+                    (jnp.asarray(lu, dtype=dt), jnp.asarray(piv.astype(np.int32)))
+                )
+            elif self.backend == "gmres":
+                from flowcontrol_tpu.solvers.krylov import (
+                    MatFreeOperator,
+                    build_simple_preconditioner,
+                )
+
+                # BC-masked element tensors for the matrix-free matvec
+                bc_mask_e = free_mask[space.cell_dofs]
+                a_bc_e = (
+                    lhs_e
+                    * bc_mask_e[:, :, None]
+                    * bc_mask_e[:, None, :]
+                )
+                op = MatFreeOperator(
+                    a_e=jnp.asarray(a_bc_e, dtype=dt),
+                    cell_dofs=jnp.asarray(space.cell_dofs),
+                    free_mask=jnp.asarray(free_mask, dtype=dt),
+                    n_dofs=n,
+                )
+                pc = build_simple_preconditioner(
+                    a_bc, bcs.free_mask, space.n_vel_dofs, dtype=dt, op=op
+                )
+                dev["solvers"].append((op, pc))
+            else:  # host_lu
+                self._host_lus[order] = HostSparseLU(a_bc)
+                dev["solvers"].append(None)
+
+        dev["geom"] = geometry_device_tables(forms.geom, dtype=dt)
+        dev["m_e"] = jnp.asarray(forms.mass_elements(), dtype=dt)
         if self.scheme == "cn":
-            self._lvel_e = jnp.asarray(
+            dev["lvel_e"] = jnp.asarray(
                 forms.velocity_operator_elements(u0, include_shift=False), dtype=dt
             )
         else:
-            self._lvel_e = None
-        self._c_dev = jnp.asarray(self.c_rows, dtype=dt)
-        self._f_dev = jnp.asarray(self.force_cols, dtype=dt)
-        self._bc_dofs = jnp.asarray(bcs.dofs)
-        self._bc_values = jnp.asarray(bcs.values, dtype=dt)
-        self._bc_profiles = jnp.asarray(profiles, dtype=dt)
+            dev["lvel_e"] = None
+        dev["c"] = jnp.asarray(self.c_rows, dtype=dt)
+        dev["f_cols"] = jnp.asarray(self.force_cols, dtype=dt)
+        dev["bc_values"] = jnp.asarray(bcs.values, dtype=dt)
+        dev["bc_profiles"] = jnp.asarray(profiles, dtype=dt)
+        self._dev = dev
+        self._bc_dofs = np.asarray(bcs.dofs)  # static (indices baked into jit)
+        self._cell_dofs = np.asarray(space.cell_dofs)
         self._coeffs = {o: forms.rhs_coefficients(o) for o in orders}
         self._is_nonlinear = forms.is_nonlinear
         self._scan_step = None
+        # hooks overridable by parallel.sharding.shard_stepper
+        self._apply_hook = None
+        self._nl_hook = None
 
-    # ── Pure step math (traceable) ───────────────────────────────────────────
+    # ── Pure step math (traceable; dev passed explicitly) ───────────────────
 
-    def _apply(self, a_e, x):
+    def _apply(self, dev, key, x):
+        if self._apply_hook is not None:
+            return self._apply_hook(key, x)
+        a_e = dev["m_e"] if key == "m" else dev["lvel_e"]
         return apply_element_tensors(a_e, self._cell_dofs, x, self.space.n_dofs)
 
-    def _nl(self, x):
+    def _nl(self, dev, x):
         if not self._is_nonlinear:
             return jnp.zeros_like(x)
-        return nonlinear_convection(self._geom_dev, self.space, x)
+        if self._nl_hook is not None:
+            return self._nl_hook(x)
+        return nonlinear_convection(dev["geom"], self.space, x)
 
-    def _rhs(self, order, carry: StepCarry, u_ctrl, nl_n):
+    def _rhs(self, dev, order, carry: StepCarry, u_ctrl, nl_n):
         c = self._coeffs[order]
-        rhs = c["c_mn"] * self._apply(self._m_e, carry.u_n)
+        oi = self._order_idx[order]
+        rhs = c["c_mn"] * self._apply(dev, "m", carry.u_n)
         if c["c_mnn"]:
-            rhs = rhs + c["c_mnn"] * self._apply(self._m_e, carry.u_nn)
+            rhs = rhs + c["c_mnn"] * self._apply(dev, "m", carry.u_nn)
         if c["c_nl_n"]:
             rhs = rhs + c["c_nl_n"] * nl_n
         if c["c_nl_nn"]:
             rhs = rhs + c["c_nl_nn"] * carry.n_prev
         if c["c_lvel"]:
-            rhs = rhs + c["c_lvel"] * self._apply(self._lvel_e, carry.u_n)
+            rhs = rhs + c["c_lvel"] * self._apply(dev, "lvel", carry.u_n)
         if self.n_act:
             f_amp = c["c_f"] * u_ctrl + c["c_fn"] * carry.u_ctrl_prev
-            rhs = rhs + f_amp @ self._f_dev
-            rhs = rhs - u_ctrl @ self._lift_act[order]
-        rhs = rhs - self._lift_static[order]
-        g = self._bc_values
+            rhs = rhs + f_amp @ dev["f_cols"]
+            rhs = rhs - u_ctrl @ dev["lift_act"][oi]
+        rhs = rhs - dev["lift_static"][oi]
+        g = dev["bc_values"]
         if self.n_act:
-            g = g + u_ctrl @ self._bc_profiles
-        return rhs.at[self._bc_dofs].set(g)
+            g = g + u_ctrl @ dev["bc_profiles"]
+        g = jnp.broadcast_to(g, rhs.shape[:-1] + g.shape[-1:])
+        return rhs.at[..., self._bc_dofs].set(g)
 
-    def _solve(self, order, rhs):
+    def _solve(self, dev, order, rhs, x_guess=None):
+        oi = self._order_idx[order]
         if self.backend == "dense_lu":
-            return dense_lu_solve(self._solvers[order], rhs)
+            return dense_lu_solve(dev["solvers"][oi], rhs)
+        if self.backend == "gmres":
+            from flowcontrol_tpu.solvers.krylov import fgmres_restarted
+
+            op, pc = dev["solvers"][oi]
+            x0 = jnp.zeros_like(rhs) if x_guess is None else x_guess
+            return fgmres_restarted(
+                op.apply, pc.apply, rhs, x0, self.gmres_iters, self.gmres_restarts
+            )
         # host fallback through pure_callback (f64, CPU) — validation path
         lu = self._host_lus[order]
 
         def cb(b):
             return lu.solve(np.asarray(b, dtype=np.float64)).astype(b.dtype)
 
-        return jax.pure_callback(
-            cb, jax.ShapeDtypeStruct(rhs.shape, rhs.dtype), rhs
-        )
+        return jax.pure_callback(cb, jax.ShapeDtypeStruct(rhs.shape, rhs.dtype), rhs)
 
-    def _step_order(self, order, carry: StepCarry, u_ctrl):
-        nl_n = self._nl(carry.u_n)
-        rhs = self._rhs(order, carry, u_ctrl, nl_n)
-        x = self._solve(order, rhs)
+    def _step_order(self, dev, order, carry: StepCarry, u_ctrl):
+        nl_n = self._nl(dev, carry.u_n)
+        rhs = self._rhs(dev, order, carry, u_ctrl, nl_n)
+        x = self._solve(dev, order, rhs, x_guess=carry.u_n)
         return x, nl_n
 
     def step_fn(self) -> Callable:
-        """(carry, u_ctrl) -> (carry', StepOutput), for lax.scan / jit."""
+        """(dev, carry, u_ctrl) -> (carry', StepOutput), for lax.scan / jit."""
 
-        def step(carry: StepCarry, u_ctrl):
-            u_ctrl = jnp.asarray(u_ctrl, dtype=self.dtype).reshape(self.n_act)
+        def step(dev, carry: StepCarry, u_ctrl):
+            # batch-polymorphic: carry fields and u_ctrl may carry leading dims
+            u_ctrl = jnp.asarray(u_ctrl, dtype=self.dtype)
             if self.scheme == "cn":
-                x, nl_n = self._step_order("cn", carry, u_ctrl)
+                x, nl_n = self._step_order(dev, "cn", carry, u_ctrl)
             elif self.start_order == 2:
-                x, nl_n = self._step_order(2, carry, u_ctrl)
+                x, nl_n = self._step_order(dev, 2, carry, u_ctrl)
             else:
-                # BDF1 on the very first step, BDF2 afterwards
-                def o1(c):
-                    return self._step_order(1, c, u_ctrl)
-
-                def o2(c):
-                    return self._step_order(2, c, u_ctrl)
-
-                x, nl_n = jax.lax.cond(carry.it == 0, o1, o2, carry)
-            y = self._c_dev @ x
-            de = 0.5 * jnp.dot(x, self._apply(self._m_e, x))
-            diverged = ~jnp.all(jnp.isfinite(x))
+                x, nl_n = jax.lax.cond(
+                    carry.it == 0,
+                    lambda c: self._step_order(dev, 1, c, u_ctrl),
+                    lambda c: self._step_order(dev, 2, c, u_ctrl),
+                    carry,
+                )
+            y = x @ dev["c"].T
+            de = 0.5 * jnp.einsum("...i,...i->...", x, self._apply(dev, "m", x))
+            diverged = ~jnp.all(jnp.isfinite(x), axis=-1)
             new_carry = StepCarry(
                 u_n=x,
                 u_nn=carry.u_n,
@@ -210,25 +266,56 @@ class Stepper:
         BDF2 restarts — ref: flowsolver.py:599-663)."""
         u0 = jnp.asarray(up0, dtype=self.dtype)
         um1 = u0 if up_prev is None else jnp.asarray(up_prev, dtype=self.dtype)
-        nprev = self._nl(um1) if self._is_nonlinear else jnp.zeros_like(u0)
+        nprev = self._nl(self._dev, um1)
         return StepCarry(
             u_n=u0,
             u_nn=um1,
             n_prev=nprev,
-            u_ctrl_prev=jnp.zeros(self.n_act, dtype=self.dtype),
+            u_ctrl_prev=jnp.zeros(u0.shape[:-1] + (self.n_act,), dtype=self.dtype),
             it=jnp.asarray(0, dtype=jnp.int32),
         )
 
+    def _exec_device(self):
+        """host_lu uses pure_callback, unsupported on TPU backends — pin to CPU."""
+        if self.backend == "host_lu":
+            try:
+                return jax.devices("cpu")[0]
+            except RuntimeError:
+                return None
+        return None
+
     def compiled_step(self):
+        """(carry, u_ctrl) -> (carry', out) with dev bound as a jit ARGUMENT."""
         if self._scan_step is None:
-            self._scan_step = jax.jit(self.step_fn())
+            dev_arg = self._dev
+            fn = jax.jit(self.step_fn())
+            exec_dev = self._exec_device()
+            if exec_dev is not None:
+                def wrapped(carry, u_ctrl, _fn=fn, _dev=exec_dev):
+                    with jax.default_device(_dev):
+                        return _fn(dev_arg, carry, u_ctrl)
+
+                self._scan_step = wrapped
+            else:
+                self._scan_step = partial(fn, dev_arg)
         return self._scan_step
 
     def rollout_open_loop(self, carry: StepCarry, u_seq):
         """Scan num_steps with a prescribed control sequence (T, n_act)."""
         step = self.step_fn()
         u_seq = jnp.asarray(u_seq, dtype=self.dtype)
-        return jax.lax.scan(step, carry, u_seq)
+        dev = self._dev
+        return jax.lax.scan(lambda c, u: step(dev, c, u), carry, u_seq)
+
+    def make_rollout_open_loop(self):
+        """jitted (dev-as-arg) open-loop rollout fn: (carry, u_seq) -> (carry, outs)."""
+        step = self.step_fn()
+
+        @partial(jax.jit)
+        def roll(dev, carry, u_seq):
+            return jax.lax.scan(lambda c, u: step(dev, c, u), carry, u_seq)
+
+        return partial(roll, self._dev)
 
     def rollout_closed_loop(self, carry: StepCarry, k_mats, y0, num_steps: int,
                             feedback_sign: float = -1.0):
@@ -238,20 +325,36 @@ class Stepper:
         step: u = Cd xk + Dd (sign·y); xk' = Ad xk + Bd (sign·y) — matching
         the reference's lockstep loop (ref: run_cylinder_example.py:83-86).
         """
-        ad, bd, cd, dd = (jnp.asarray(m, dtype=self.dtype) for m in k_mats)
+        fn = self.make_rollout_closed_loop(num_steps, feedback_sign)
+        return fn(carry, k_mats, y0)
+
+    def make_rollout_closed_loop(self, num_steps: int, feedback_sign: float = -1.0):
+        """Build a jitted fused closed-loop rollout; vmap-able over
+        (carry, k_mats, y0) for batched controller synthesis."""
         step = self.step_fn()
 
-        def fused(carry_all, _):
-            carry, xk, y = carry_all
-            ys = feedback_sign * y
-            u = cd @ xk + dd @ ys
-            xk_new = ad @ xk + bd @ ys
-            carry, out = step(carry, u)
-            return (carry, xk_new, out.y), (out.y, out.dE, u, out.diverged)
+        def roll(dev, carry, k_mats, y0):
+            # batch-polymorphic: k_mats may be (B, nk, nk) stacks for vmapped
+            # controller-synthesis rollouts (matching batched carry fields)
+            ad, bd, cd, dd = (jnp.asarray(m, dtype=self.dtype) for m in k_mats)
+            xk0 = jnp.zeros(ad.shape[:-1], dtype=self.dtype)
 
-        xk0 = jnp.zeros(ad.shape[0], dtype=self.dtype)
-        y0 = jnp.asarray(y0, dtype=self.dtype)
-        (carry, xk, _), outs = jax.lax.scan(
-            fused, (carry, xk0, y0), None, length=num_steps
-        )
-        return carry, outs
+            def fused(carry_all, _):
+                c, xk, y = carry_all
+                ys = feedback_sign * y
+                u = jnp.einsum("...ij,...j->...i", cd, xk) + jnp.einsum(
+                    "...ij,...j->...i", dd, ys
+                )
+                xk_new = jnp.einsum("...ij,...j->...i", ad, xk) + jnp.einsum(
+                    "...ij,...j->...i", bd, ys
+                )
+                c, out = step(dev, c, u)
+                return (c, xk_new, out.y), (out.y, out.dE, u, out.diverged)
+
+            (c, xk, _), outs = jax.lax.scan(
+                fused, (carry, xk0, jnp.asarray(y0, dtype=self.dtype)),
+                None, length=num_steps,
+            )
+            return c, outs
+
+        return partial(jax.jit(roll, static_argnums=()), self._dev)

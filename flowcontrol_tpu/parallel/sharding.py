@@ -1,0 +1,135 @@
+"""SPMD element-sharded operators over a jax.sharding.Mesh.
+
+TPU-native replacement for the reference's MPI domain decomposition
+(ref: SURVEY §2.5-1; dolfin partitions the mesh across ranks at read time,
+flowsolver.py:236-238, and every assembly/solve is an MPI collective).
+
+Strategy ("sharded elements, replicated dofs"): the per-element tensors and
+connectivity are sharded across devices along the cell axis; the dof vector
+is replicated. Each device computes its partial scatter-add and a single
+``psum`` over ICI produces the replicated result — the exact analogue of
+dolfin's ghost-dof accumulation, but expressed as one XLA collective. The
+(small) linear-solve factors are replicated; for very large meshes swap in
+the matrix-free Krylov backend whose matvecs use these same sharded applies.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def make_device_mesh(n_devices: int | None = None, axis: str = "space") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def _pad_cells(arr: np.ndarray, n_devices: int) -> np.ndarray:
+    """Pad the leading (cell) axis to a multiple of n_devices with zeros."""
+    nc = arr.shape[0]
+    rem = (-nc) % n_devices
+    if rem == 0:
+        return arr
+    pad = np.zeros((rem,) + arr.shape[1:], dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def sharded_apply_builder(a_e, cell_dofs, n_dofs: int, mesh: Mesh, axis: str = "space"):
+    """Build y = A x with element tensors sharded across the device mesh.
+
+    Padding cells with zero tensors + dof-0 indices is harmless: they
+    scatter 0 into dof 0.
+    """
+    n_dev = mesh.shape[axis]
+    a_e_p = _pad_cells(np.asarray(a_e), n_dev)
+    cd_p = _pad_cells(np.asarray(cell_dofs), n_dev)
+
+    def local_apply(a_loc, cd_loc, x):
+        xe = x[cd_loc]  # (nc_loc, 15)
+        ye = jnp.einsum("cij,cj->ci", a_loc, xe)
+        y = jnp.zeros((n_dofs,), dtype=ye.dtype)
+        y = y.at[cd_loc.reshape(-1)].add(ye.reshape(-1))
+        return jax.lax.psum(y, axis)
+
+    fn = jax.shard_map(
+        local_apply,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=P(),
+    )
+    a_dev = jax.device_put(
+        a_e_p, jax.NamedSharding(mesh, P(axis))
+    )
+    cd_dev = jax.device_put(cd_p, jax.NamedSharding(mesh, P(axis)))
+    return lambda x: fn(a_dev, cd_dev, x)
+
+
+def sharded_nonlinear_builder(
+    geom_tables: dict, cell_vel_nodes, vel_dofs, n_dofs: int, n_vnodes: int,
+    mesh: Mesh, axis: str = "space",
+):
+    """Sharded N(u) = assemble((u·∇)u · v): the per-step hot kernel, SPMD."""
+    n_dev = mesh.shape[axis]
+    wq = _pad_cells(np.asarray(geom_tables["wq"]), n_dev)
+    dphi2 = _pad_cells(np.asarray(geom_tables["dphi2"]), n_dev)
+    phi2 = np.asarray(geom_tables["phi2"])
+    cvn = _pad_cells(np.asarray(cell_vel_nodes), n_dev)
+    vd = _pad_cells(np.asarray(vel_dofs), n_dev)
+
+    def local_nl(wq_l, dphi2_l, cvn_l, vd_l, u_mixed):
+        u_nodes = u_mixed[: 2 * n_vnodes].reshape(n_vnodes, 2)
+        u_e = u_nodes[cvn_l, :]
+        u_q = jnp.einsum("qn,cnd->cqd", phi2, u_e)
+        g_q = jnp.einsum("cqni,cnd->cqid", dphi2_l, u_e)
+        conv_q = jnp.einsum("cqi,cqid->cqd", u_q, g_q)
+        r_e = jnp.einsum("cq,qa,cqd->cad", wq_l, phi2, conv_q)
+        y = jnp.zeros((n_dofs,), dtype=r_e.dtype)
+        y = y.at[vd_l.reshape(-1)].add(r_e.reshape(-1))
+        return jax.lax.psum(y, axis)
+
+    fn = jax.shard_map(
+        local_nl,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=P(),
+    )
+    sh = jax.NamedSharding(mesh, P(axis))
+    args = tuple(jax.device_put(a, sh) for a in (wq, dphi2, cvn, vd))
+    return lambda u: fn(*args, u)
+
+
+def shard_stepper(stepper, mesh: Mesh, axis: str = "space"):
+    """Re-route a Stepper's element applies through sharded SPMD versions.
+
+    Installs the stepper's apply/nl hooks; the dense-LU solve stays
+    replicated (every device back-substitutes the same factors — cheap at the
+    sizes where dense LU is used; the Krylov backend shards the matvec too).
+    """
+    from flowcontrol_tpu.fem.assembly import velocity_cell_dofs
+
+    space = stepper.space
+    dev = stepper._dev
+    applies = {
+        "m": sharded_apply_builder(dev["m_e"], space.cell_dofs, space.n_dofs, mesh, axis)
+    }
+    if dev["lvel_e"] is not None:
+        applies["lvel"] = sharded_apply_builder(
+            dev["lvel_e"], space.cell_dofs, space.n_dofs, mesh, axis
+        )
+    nl = sharded_nonlinear_builder(
+        dev["geom"],
+        space.cell_vel_nodes,
+        velocity_cell_dofs(space),
+        space.n_dofs,
+        space.n_vnodes,
+        mesh,
+        axis,
+    )
+    stepper._apply_hook = lambda key, x: applies[key](x)
+    stepper._nl_hook = nl
+    return stepper

@@ -1,0 +1,199 @@
+"""Eigenvalue analysis and frequency response of (A, E, B, C) systems.
+
+Port of the reference linear-algebra layer (ref: src/utils/linalg.py):
+
+- generalized eigenproblem A x = λ E x via shift-invert
+  (ref: linalg.py:52-129, SLEPc Krylov-Schur + MUMPS). Here: a host path
+  (scipy ARPACK + splu — the right tool for one-time sparse analysis) and a
+  TPU path (shift-invert Arnoldi in JAX with a dense complex factorization,
+  for problems that fit HBM). JAX has complex dtypes, so no real 2n×2n
+  embedding (ref: linalg.py:214,400-417) is needed on the TPU path.
+- frequency response H(jω) = C (jωE - A)^{-1} B
+  (ref: linalg.py:192-328, three variants: sequential / joblib / MPI).
+  Here: host sequential and TPU-vmapped-over-ω dense complex solves —
+  the embarrassing ω-parallelism of the reference's joblib/MPI variants
+  maps to one batched solve.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+logger = logging.getLogger(__name__)
+
+
+# ── Generalized eigenproblem (shift-invert) ──────────────────────────────────
+
+
+def get_mat_vp_shift_invert(
+    a_csr,
+    e_csr,
+    n: int = 10,
+    sigma: complex = 0.0,
+    return_vectors: bool = True,
+):
+    """Eigenvalues of A x = λ E x nearest shift σ (host, ARPACK + splu).
+
+    Matches the reference's SLEPc shift-invert usage
+    (ref: linalg.py:52-129). E is singular (pressure rows zero): shift-invert
+    handles this; spurious infinite eigenvalues are pushed away from σ.
+    """
+    vals, vecs = spla.eigs(
+        a_csr.astype(np.complex128),
+        k=n,
+        M=e_csr.astype(np.complex128),
+        sigma=sigma,
+        which="LM",
+        return_eigenvectors=True,
+    )
+    order = np.argsort(-vals.real)
+    vals, vecs = vals[order], vecs[:, order]
+    if return_vectors:
+        return vals, vecs
+    return vals
+
+
+def eig_arnoldi_dense_tpu(
+    a_dense,
+    e_dense,
+    n: int = 10,
+    sigma: complex = 0.0,
+    n_krylov: int = 60,
+    dtype=np.complex64,
+):
+    """TPU shift-invert Arnoldi with a dense complex factorization.
+
+    For operator sizes that fit HBM as a dense complex matrix. The inner
+    solve (A - σE)⁻¹ E v becomes an LU back-substitution; Arnoldi runs in
+    complex64 on device. Returns (eigenvalues, Ritz vectors).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.asarray(a_dense, dtype=dtype)
+    e = jnp.asarray(e_dense, dtype=dtype)
+    m = a.shape[0]
+    lu, piv = jax.scipy.linalg.lu_factor(a - sigma * e)
+
+    def opinv(v):
+        return jax.scipy.linalg.lu_solve((lu, piv), e @ v)
+
+    key = jax.random.PRNGKey(0)
+    v0 = jax.random.normal(key, (m,), dtype=jnp.float32).astype(dtype)
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    vs = jnp.zeros((n_krylov + 1, m), dtype=dtype).at[0].set(v0)
+    h = jnp.zeros((n_krylov + 1, n_krylov), dtype=dtype)
+
+    def body(k, state):
+        vs, h = state
+        w = opinv(vs[k])
+
+        def mgs(j, acc):
+            w, hcol = acc
+            proj = jnp.where(j <= k, jnp.vdot(vs[j], w), 0.0 + 0.0j)
+            return w - proj * vs[j], hcol.at[j].set(proj)
+
+        w, hcol = jax.lax.fori_loop(
+            0, n_krylov + 1, mgs, (w, jnp.zeros(n_krylov + 1, dtype))
+        )
+        nrm = jnp.linalg.norm(w)
+        hcol = hcol.at[k + 1].set(nrm.astype(dtype))
+        vs = vs.at[k + 1].set(w / jnp.where(nrm > 0, nrm, 1.0))
+        h = h.at[:, k].set(hcol)
+        return vs, h
+
+    import jax.lax
+
+    vs, h = jax.lax.fori_loop(0, n_krylov, body, (vs, h))
+    h_small = np.asarray(h)[:n_krylov, :n_krylov].astype(np.complex128)
+    theta, z = np.linalg.eig(h_small)
+    lam = sigma + 1.0 / theta
+    order = np.argsort(-lam.real)[:n]
+    vecs = np.asarray(vs)[:n_krylov].T.astype(np.complex128) @ z[:, order]
+    return lam[order], vecs
+
+
+# ── Frequency response ───────────────────────────────────────────────────────
+
+
+def get_frequency_response(a_csr, b, c, q_csr, ww, d=None, verbose=False):
+    """H(jω) = C (jωQ - A)^{-1} B, sequential host solves (f64).
+
+    (ref: linalg.py:192-232 — scipy splu of the real 2n block; complex splu
+    here is simpler and equivalent.)
+    """
+    b = np.atleast_2d(np.asarray(b, dtype=np.float64))
+    if b.shape[0] != a_csr.shape[0]:
+        b = b.T
+    c = np.atleast_2d(np.asarray(c, dtype=np.float64))
+    ww = np.atleast_1d(np.asarray(ww, dtype=np.float64))
+    p, m = c.shape[0], b.shape[1]
+    h = np.empty((len(ww), p, m), dtype=np.complex128)
+    a_c = a_csr.astype(np.complex128).tocsc()
+    q_c = q_csr.astype(np.complex128).tocsc()
+    for k, w in enumerate(ww):
+        lu = spla.splu(1j * w * q_c - a_c)
+        x = lu.solve(b.astype(np.complex128))
+        h[k] = c @ x
+        if verbose and (k % max(1, len(ww) // 10) == 0):
+            logger.info(f"freq response {k + 1}/{len(ww)}: w={w:.3f}")
+    if d is not None:
+        h = h + np.asarray(d)[None, :, :]
+    return h
+
+
+def get_frequency_response_tpu(a_dense, b, c, q_dense, ww, dtype=np.complex64):
+    """Batched TPU frequency response: vmapped dense complex solves over ω.
+
+    The reference parallelizes over frequencies with joblib processes or MPI
+    (ref: linalg.py:235-328); here the whole sweep is ONE batched XLA solve.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.asarray(a_dense, dtype=dtype)
+    q = jnp.asarray(q_dense, dtype=dtype)
+    b_ = jnp.asarray(np.atleast_2d(b), dtype=dtype)
+    if b_.shape[0] != a.shape[0]:
+        b_ = b_.T
+    c_ = jnp.asarray(np.atleast_2d(c), dtype=dtype)
+    ww_ = jnp.asarray(np.atleast_1d(ww))
+
+    def solve_one(w):
+        m = (1j * w) * q - a
+        x = jnp.linalg.solve(m, b_)
+        return c_ @ x
+
+    h = jax.lax.map(solve_one, ww_.astype(dtype))  # sequential map bounds memory
+    return np.asarray(h).astype(np.complex128)
+
+
+def get_field_response(a_csr, b, q_csr, ww):
+    """Full-field response X(ω) = (jωQ - A)^{-1} B (ref: linalg.py:331-388)."""
+    b = np.asarray(b, dtype=np.complex128).reshape(a_csr.shape[0], -1)
+    a_c = a_csr.astype(np.complex128).tocsc()
+    q_c = q_csr.astype(np.complex128).tocsc()
+    out = np.empty((len(ww),) + b.shape, dtype=np.complex128)
+    for k, w in enumerate(np.atleast_1d(ww)):
+        out[k] = spla.splu(1j * w * q_c - a_c).solve(b)
+    return out
+
+
+# ── Matrix conversion helpers (ref: linalg.py:20-46) ─────────────────────────
+
+
+def dense_to_sparse(mat, eliminate_zeros: bool = True):
+    m = sp.csr_matrix(np.asarray(mat))
+    if eliminate_zeros:
+        m.eliminate_zeros()
+    return m
+
+
+def sparse_to_coo_triplets(mat):
+    coo = mat.tocoo()
+    return np.stack([coo.row, coo.col], axis=1), coo.data
