@@ -109,12 +109,12 @@ class Stepper:
             dev["lift_act"].append(jnp.asarray(la, dtype=dt))
             dev["lift_static"].append(jnp.asarray(lift_cols @ bcs.values, dtype=dt))
             if self.backend == "dense_lu":
-                import scipy.linalg as sla
-
-                lu, piv = sla.lu_factor(np.asarray(a_bc.todense()))
-                dev["solvers"].append(
-                    (jnp.asarray(lu, dtype=dt), jnp.asarray(piv.astype(np.int32)))
-                )
+                # factor ON DEVICE (MXU) in the target dtype: a dense f32 LU
+                # of the fixed time-step matrix — O(n^3) once, fast on TPU,
+                # avoids a minutes-long host LAPACK factorization
+                a_dense = jnp.asarray(np.asarray(a_bc.todense()), dtype=dt)
+                lu, piv = jax.jit(jax.scipy.linalg.lu_factor)(a_dense)
+                dev["solvers"].append((lu, piv))
             elif self.backend == "gmres":
                 from flowcontrol_tpu.solvers.krylov import (
                     MatFreeOperator,

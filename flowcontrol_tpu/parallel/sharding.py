@@ -5,22 +5,23 @@ TPU-native replacement for the reference's MPI domain decomposition
 flowsolver.py:236-238, and every assembly/solve is an MPI collective).
 
 Strategy ("sharded elements, replicated dofs"): the per-element tensors and
-connectivity are sharded across devices along the cell axis; the dof vector
-is replicated. Each device computes its partial scatter-add and a single
-``psum`` over ICI produces the replicated result — the exact analogue of
-dolfin's ghost-dof accumulation, but expressed as one XLA collective. The
-(small) linear-solve factors are replicated; for very large meshes swap in
-the matrix-free Krylov backend whose matvecs use these same sharded applies.
+connectivity are sharded across devices along the cell axis ('space'); the
+dof vector is replicated over 'space'. Each device computes its partial
+scatter-add and a single ``psum`` over ICI produces the replicated result —
+the exact analogue of dolfin's ghost-dof accumulation, but expressed as one
+XLA collective. An optional 'batch' mesh axis shards rollout batches
+(data-parallel controller synthesis); dof vectors are then sharded over
+'batch' and replicated over 'space'. The (small) linear-solve factors are
+replicated; for very large meshes swap in the matrix-free Krylov backend
+whose matvecs use these same sharded applies.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_device_mesh(n_devices: int | None = None, axis: str = "space") -> Mesh:
@@ -30,7 +31,9 @@ def make_device_mesh(n_devices: int | None = None, axis: str = "space") -> Mesh:
 
 
 def _pad_cells(arr: np.ndarray, n_devices: int) -> np.ndarray:
-    """Pad the leading (cell) axis to a multiple of n_devices with zeros."""
+    """Pad the leading (cell) axis to a multiple of n_devices with zeros.
+
+    Zero element tensors scattering into dof 0 are harmless."""
     nc = arr.shape[0]
     rem = (-nc) % n_devices
     if rem == 0:
@@ -39,39 +42,40 @@ def _pad_cells(arr: np.ndarray, n_devices: int) -> np.ndarray:
     return np.concatenate([arr, pad], axis=0)
 
 
-def sharded_apply_builder(a_e, cell_dofs, n_dofs: int, mesh: Mesh, axis: str = "space"):
-    """Build y = A x with element tensors sharded across the device mesh.
+def _x_spec(batch_axis: str | None) -> P:
+    # dof vectors: replicated over 'space'; batched ones sharded over 'batch'
+    return P(batch_axis) if batch_axis else P()
 
-    Padding cells with zero tensors + dof-0 indices is harmless: they
-    scatter 0 into dof 0.
-    """
+
+def sharded_apply_builder(
+    a_e, cell_dofs, n_dofs: int, mesh: Mesh,
+    axis: str = "space", batch_axis: str | None = None,
+):
+    """Build y = A x with element tensors sharded across the device mesh."""
     n_dev = mesh.shape[axis]
     a_e_p = _pad_cells(np.asarray(a_e), n_dev)
     cd_p = _pad_cells(np.asarray(cell_dofs), n_dev)
+    xs = _x_spec(batch_axis)
 
     def local_apply(a_loc, cd_loc, x):
-        xe = x[cd_loc]  # (nc_loc, 15)
-        ye = jnp.einsum("cij,cj->ci", a_loc, xe)
-        y = jnp.zeros((n_dofs,), dtype=ye.dtype)
-        y = y.at[cd_loc.reshape(-1)].add(ye.reshape(-1))
+        xe = x[..., cd_loc]  # (..., nc_loc, 15)
+        ye = jnp.einsum("cij,...cj->...ci", a_loc, xe)
+        y = jnp.zeros(x.shape[:-1] + (n_dofs,), dtype=ye.dtype)
+        y = y.at[..., cd_loc.reshape(-1)].add(ye.reshape(x.shape[:-1] + (-1,)))
         return jax.lax.psum(y, axis)
 
     fn = jax.shard_map(
-        local_apply,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P()),
-        out_specs=P(),
+        local_apply, mesh=mesh, in_specs=(P(axis), P(axis), xs), out_specs=xs
     )
-    a_dev = jax.device_put(
-        a_e_p, jax.NamedSharding(mesh, P(axis))
-    )
-    cd_dev = jax.device_put(cd_p, jax.NamedSharding(mesh, P(axis)))
+    sh = NamedSharding(mesh, P(axis))
+    a_dev = jax.device_put(a_e_p, sh)
+    cd_dev = jax.device_put(cd_p, sh)
     return lambda x: fn(a_dev, cd_dev, x)
 
 
 def sharded_nonlinear_builder(
     geom_tables: dict, cell_vel_nodes, vel_dofs, n_dofs: int, n_vnodes: int,
-    mesh: Mesh, axis: str = "space",
+    mesh: Mesh, axis: str = "space", batch_axis: str | None = None,
 ):
     """Sharded N(u) = assemble((u·∇)u · v): the per-step hot kernel, SPMD."""
     n_dev = mesh.shape[axis]
@@ -80,30 +84,33 @@ def sharded_nonlinear_builder(
     phi2 = np.asarray(geom_tables["phi2"])
     cvn = _pad_cells(np.asarray(cell_vel_nodes), n_dev)
     vd = _pad_cells(np.asarray(vel_dofs), n_dev)
+    xs = _x_spec(batch_axis)
 
     def local_nl(wq_l, dphi2_l, cvn_l, vd_l, u_mixed):
-        u_nodes = u_mixed[: 2 * n_vnodes].reshape(n_vnodes, 2)
-        u_e = u_nodes[cvn_l, :]
-        u_q = jnp.einsum("qn,cnd->cqd", phi2, u_e)
-        g_q = jnp.einsum("cqni,cnd->cqid", dphi2_l, u_e)
-        conv_q = jnp.einsum("cqi,cqid->cqd", u_q, g_q)
-        r_e = jnp.einsum("cq,qa,cqd->cad", wq_l, phi2, conv_q)
-        y = jnp.zeros((n_dofs,), dtype=r_e.dtype)
-        y = y.at[vd_l.reshape(-1)].add(r_e.reshape(-1))
+        batch = u_mixed.shape[:-1]
+        u_nodes = u_mixed[..., : 2 * n_vnodes].reshape(batch + (n_vnodes, 2))
+        u_e = u_nodes[..., cvn_l, :]
+        u_q = jnp.einsum("qn,...cnd->...cqd", phi2, u_e)
+        g_q = jnp.einsum("cqni,...cnd->...cqid", dphi2_l, u_e)
+        conv_q = jnp.einsum("...cqi,...cqid->...cqd", u_q, g_q)
+        r_e = jnp.einsum("cq,qa,...cqd->...cad", wq_l, phi2, conv_q)
+        y = jnp.zeros(batch + (n_dofs,), dtype=r_e.dtype)
+        y = y.at[..., vd_l.reshape(-1)].add(r_e.reshape(batch + (-1,)))
         return jax.lax.psum(y, axis)
 
     fn = jax.shard_map(
         local_nl,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=P(),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), xs),
+        out_specs=xs,
     )
-    sh = jax.NamedSharding(mesh, P(axis))
+    sh = NamedSharding(mesh, P(axis))
     args = tuple(jax.device_put(a, sh) for a in (wq, dphi2, cvn, vd))
     return lambda u: fn(*args, u)
 
 
-def shard_stepper(stepper, mesh: Mesh, axis: str = "space"):
+def shard_stepper(stepper, mesh: Mesh, axis: str = "space",
+                  batch_axis: str | None = None):
     """Re-route a Stepper's element applies through sharded SPMD versions.
 
     Installs the stepper's apply/nl hooks; the dense-LU solve stays
@@ -114,12 +121,13 @@ def shard_stepper(stepper, mesh: Mesh, axis: str = "space"):
 
     space = stepper.space
     dev = stepper._dev
+    kw = dict(axis=axis, batch_axis=batch_axis)
     applies = {
-        "m": sharded_apply_builder(dev["m_e"], space.cell_dofs, space.n_dofs, mesh, axis)
+        "m": sharded_apply_builder(dev["m_e"], space.cell_dofs, space.n_dofs, mesh, **kw)
     }
     if dev["lvel_e"] is not None:
         applies["lvel"] = sharded_apply_builder(
-            dev["lvel_e"], space.cell_dofs, space.n_dofs, mesh, axis
+            dev["lvel_e"], space.cell_dofs, space.n_dofs, mesh, **kw
         )
     nl = sharded_nonlinear_builder(
         dev["geom"],
@@ -128,7 +136,7 @@ def shard_stepper(stepper, mesh: Mesh, axis: str = "space"):
         space.n_dofs,
         space.n_vnodes,
         mesh,
-        axis,
+        **kw,
     )
     stepper._apply_hook = lambda key, x: applies[key](x)
     stepper._nl_hook = nl
