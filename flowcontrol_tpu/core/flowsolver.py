@@ -132,6 +132,12 @@ class FlowSolver(ABC):
         self.geom = CellGeometry(self.space)
         self.boundaries = self._make_boundaries()  # dict name -> predicate
         self.markers = self.mesh.mark_boundaries(self.boundaries)
+        for name in self.boundaries:
+            if len(self.markers.facets(name)) == 0:
+                logger.warning(
+                    f"boundary {name!r} matches no facets — check domain "
+                    "extents vs the mesh"
+                )
         self._load_actuators()
         self._load_sensors()
         self.bc = self._make_bcs()  # abstract

@@ -109,6 +109,7 @@ class SteadyStateSolver:
         logger.info(f"Newton iteration 0: r = {r0:.3e}")
         if r0 < atol:
             return up
+        r_prev = r0
         for it in range(1, max_iter + 1):
             j_e = linear_operator_element(
                 self.geom, self._u_cells(up), self.inv_re
@@ -118,14 +119,23 @@ class SteadyStateSolver:
             rhs = -r
             rhs[self.bcs.dofs] = 0.0  # homogeneous increments at Dirichlet dofs
             delta = HostSparseLU(j_bc).solve(rhs)
-            up = up + delta
-            r = self.residual(up)
-            r[self.bcs.dofs] = 0.0
-            rn = np.linalg.norm(r)
+            # backtracking line search for robustness at high Re (the
+            # reference relies on dolfin's damped Newton)
+            alpha = 1.0
+            for _ in range(10):
+                up_try = up + alpha * delta
+                r_try = self.residual(up_try)
+                r_try[self.bcs.dofs] = 0.0
+                rn = np.linalg.norm(r_try)
+                if rn < r_prev or alpha < 1e-3:
+                    break
+                alpha *= 0.5
+            up, r, r_prev = up_try, r_try, rn
             if self.verbose:
                 logger.info(
                     f"Newton iteration {it}: r (abs) = {rn:.3e} (tol={atol:.0e}), "
-                    f"r (rel) = {rn / (r0 + 1e-300):.3e} (tol={rtol:.0e})"
+                    f"r (rel) = {rn / (r0 + 1e-300):.3e} (tol={rtol:.0e}), "
+                    f"step = {alpha:g}"
                 )
             if rn < atol or rn < rtol * r0:
                 logger.info(f"Newton converged in {it} iterations.")

@@ -33,10 +33,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from flowcontrol_tpu.fem.assembly import (
-    apply_element_tensors,
+    apply_element_tensors_gather,
+    build_gather_table,
     geometry_device_tables,
-    nonlinear_convection,
+    nonlinear_convection_gather,
     to_scipy_csr,
+    velocity_cell_dofs,
 )
 from flowcontrol_tpu.fem.bc import BCSet
 from flowcontrol_tpu.solvers.direct import HostSparseLU, dense_lu_solve
@@ -89,11 +91,12 @@ class Stepper:
         self._order_idx = {o: i for i, o in enumerate(orders)}
         self._host_lus = {}
 
-        profiles = (
-            bcs.g_profiles()[:, bcs.dofs]
-            if self.n_act
-            else np.zeros((0, len(bcs.dofs)))
-        )
+        # (n_act, m) BC-profile values at constrained dofs; actuators without
+        # a BC footprint (FORCE type) get zero rows
+        profiles = np.zeros((self.n_act, len(bcs.dofs)))
+        gp = bcs.g_profiles()
+        if gp.shape[0]:
+            profiles[: gp.shape[0], :] = gp[:, bcs.dofs]
 
         dev: dict = {}
         dev["solvers"] = []
@@ -142,6 +145,11 @@ class Stepper:
                 self._host_lus[order] = HostSparseLU(a_bc)
                 dev["solvers"].append(None)
 
+        # gather-table assembly maps (scatter transposed into padded gathers)
+        dev["gt_mixed"] = jnp.asarray(build_gather_table(space.cell_dofs, n))
+        dev["gt_vel"] = jnp.asarray(
+            build_gather_table(velocity_cell_dofs(space), n)
+        )
         dev["geom"] = geometry_device_tables(forms.geom, dtype=dt)
         dev["m_e"] = jnp.asarray(forms.mass_elements(), dtype=dt)
         if self.scheme == "cn":
@@ -170,14 +178,16 @@ class Stepper:
         if self._apply_hook is not None:
             return self._apply_hook(key, x)
         a_e = dev["m_e"] if key == "m" else dev["lvel_e"]
-        return apply_element_tensors(a_e, self._cell_dofs, x, self.space.n_dofs)
+        return apply_element_tensors_gather(
+            a_e, self._cell_dofs, dev["gt_mixed"], x, self.space.n_dofs
+        )
 
     def _nl(self, dev, x):
         if not self._is_nonlinear:
             return jnp.zeros_like(x)
         if self._nl_hook is not None:
             return self._nl_hook(x)
-        return nonlinear_convection(dev["geom"], self.space, x)
+        return nonlinear_convection_gather(dev["geom"], self.space, dev["gt_vel"], x)
 
     def _rhs(self, dev, order, carry: StepCarry, u_ctrl, nl_n):
         c = self._coeffs[order]

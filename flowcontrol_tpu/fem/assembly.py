@@ -211,11 +211,52 @@ def velocity_cell_dofs(space: TaylorHoodSpace) -> np.ndarray:
 # ── Matrix-free application (JAX, hot path) ──────────────────────────────────
 
 
+def build_gather_table(dofs_flat: np.ndarray, n_dofs: int) -> np.ndarray:
+    """Transpose scatter map -> padded gather table (ELL layout).
+
+    ``dofs_flat (m,)`` assigns each source slot (flattened per-element
+    contribution) a destination dof. Returns ``table (n_dofs, kmax)`` of
+    source indices, padded with ``m`` (a zero slot appended by the apply).
+
+    This inverts the scatter into a pure GATHER + small-axis sum — the
+    TPU-friendly assembly layout (scatter-adds inside lax.scan are
+    pathologically slow to compile on the TPU toolchain; gathers are fast).
+    """
+    dofs_flat = np.asarray(dofs_flat, dtype=np.int64).reshape(-1)
+    m = dofs_flat.shape[0]
+    order = np.argsort(dofs_flat, kind="stable")
+    sorted_dofs = dofs_flat[order]
+    counts = np.bincount(dofs_flat, minlength=n_dofs)
+    kmax = int(counts.max()) if m else 1
+    starts = np.zeros(n_dofs + 1, dtype=np.int64)
+    starts[1:] = np.cumsum(counts)
+    col = np.arange(m) - starts[sorted_dofs]
+    table = np.full((n_dofs, kmax), m, dtype=np.int64)
+    table[sorted_dofs, col] = order
+    return table.astype(np.int32)
+
+
+def gather_assemble(ye_flat, table, n_dofs: int):
+    """Sum per-dof contributions: ye_flat (..., m) + table (n, k) -> (..., n)."""
+    padded = jnp.concatenate(
+        [ye_flat, jnp.zeros(ye_flat.shape[:-1] + (1,), dtype=ye_flat.dtype)],
+        axis=-1,
+    )
+    return jnp.take(padded, table, axis=-1).sum(axis=-1)
+
+
+def apply_element_tensors_gather(a_e, cell_dofs, table, x, n_dofs: int):
+    """y = A x via gather-table assembly. Supports leading batch dims."""
+    xe = x[..., cell_dofs]  # (..., nc, 15)
+    ye = jnp.einsum("cij,...cj->...ci", a_e, xe)
+    return gather_assemble(ye.reshape(x.shape[:-1] + (-1,)), table, n_dofs)
+
+
 def apply_element_tensors(a_e, cell_dofs, x, n_dofs: int):
     """y = A x with A given by element tensors. Supports leading batch dims.
 
-    gather -> batched small matvec -> scatter-add. The scatter uses
-    ``.at[].add`` which XLA lowers to an efficient sorted segment-sum.
+    Scatter-add variant (fine on CPU; prefer the gather-table variant inside
+    device scan loops).
     """
     xe = x[..., cell_dofs]  # (..., nc, 15)
     ye = jnp.einsum("cij,...cj->...ci", a_e, xe)
@@ -224,11 +265,8 @@ def apply_element_tensors(a_e, cell_dofs, x, n_dofs: int):
     return y.at[..., cell_dofs.reshape(-1)].add(ye.reshape(batch + (-1,)))
 
 
-def nonlinear_convection(geom_dev, space: TaylorHoodSpace, u_mixed):
-    """N(u): assemble ∫ ((u·∇)u)·v dx into a mixed vector. Batched over u.
-
-    ``geom_dev``: dict with wq, phi2, dphi2 (device arrays ok).
-    """
+def _nonlinear_contributions(geom_dev, space: TaylorHoodSpace, u_mixed):
+    """Per-element nonlinear convection contributions r_e (..., nc*12)."""
     n_vnodes = space.n_vnodes
     u_nodes = u_mixed[..., : 2 * n_vnodes].reshape(
         u_mixed.shape[:-1] + (n_vnodes, 2)
@@ -238,10 +276,26 @@ def nonlinear_convection(geom_dev, space: TaylorHoodSpace, u_mixed):
     g_q = jnp.einsum("cqni,...cnd->...cqid", geom_dev["dphi2"], u_e)  # ∂u_d/∂x_i
     conv_q = jnp.einsum("...cqi,...cqid->...cqd", u_q, g_q)
     r_e = jnp.einsum("cq,qa,...cqd->...cad", geom_dev["wq"], geom_dev["phi2"], conv_q)
+    return r_e.reshape(u_mixed.shape[:-1] + (-1,))
+
+
+def nonlinear_convection(geom_dev, space: TaylorHoodSpace, u_mixed):
+    """N(u): assemble ∫ ((u·∇)u)·v dx into a mixed vector. Batched over u.
+
+    ``geom_dev``: dict with wq, phi2, dphi2 (device arrays ok). Scatter-add
+    variant (host/CPU); device loops use nonlinear_convection_gather.
+    """
+    r_flat = _nonlinear_contributions(geom_dev, space, u_mixed)
     batch = u_mixed.shape[:-1]
     vel_dofs = velocity_cell_dofs(space)
-    y = jnp.zeros(batch + (space.n_dofs,), dtype=r_e.dtype)
-    return y.at[..., vel_dofs.reshape(-1)].add(r_e.reshape(batch + (-1,)))
+    y = jnp.zeros(batch + (space.n_dofs,), dtype=r_flat.dtype)
+    return y.at[..., vel_dofs.reshape(-1)].add(r_flat)
+
+
+def nonlinear_convection_gather(geom_dev, space: TaylorHoodSpace, table, u_mixed):
+    """Gather-table variant of N(u) for device scan loops."""
+    r_flat = _nonlinear_contributions(geom_dev, space, u_mixed)
+    return gather_assemble(r_flat, table, space.n_dofs)
 
 
 def geometry_device_tables(geom: CellGeometry, dtype=None) -> dict:

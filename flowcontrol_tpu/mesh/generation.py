@@ -106,6 +106,27 @@ def _boundary_points(p0, p1, h) -> np.ndarray:
     return p0[None, :] + t[:, None] * (p1 - p0)[None, :]
 
 
+def _boundary_points_graded(p0, p1, h_fn) -> np.ndarray:
+    """Points along p0->p1 with LOCAL spacing h_fn(point) (excl. endpoint p1).
+
+    Boundary spacing must track the adjacent interior density, otherwise
+    Delaunay boundary recovery cuts corners where fine interior points sit
+    closer to the wall than the wall points are to each other.
+    """
+    p0, p1 = np.asarray(p0, float), np.asarray(p1, float)
+    length = np.linalg.norm(p1 - p0)
+    direction = (p1 - p0) / length
+    ts = [0.0]
+    while True:
+        pt = p0 + ts[-1] * direction
+        h = float(h_fn(pt[None, :])[0])
+        t_next = ts[-1] + h
+        if t_next >= length - 0.4 * h:
+            break
+        ts.append(t_next)
+    return p0[None, :] + np.asarray(ts)[:, None] * direction[None, :]
+
+
 def _rect_boundary(xmin, ymin, xmax, ymax, h) -> np.ndarray:
     return np.concatenate(
         [
@@ -145,7 +166,9 @@ def _merge_point_groups(groups) -> np.ndarray:
         pts = np.asarray(pts, dtype=HOST_DTYPE)
         if len(pts) == 0:
             continue
-        hs = np.full(len(pts), h, dtype=HOST_DTYPE)
+        hs = np.broadcast_to(
+            np.asarray(h, dtype=HOST_DTYPE), (len(pts),)
+        ).copy()
         if acc_pts:
             all_pts = np.concatenate(acc_pts)
             all_h = np.concatenate(acc_h)
@@ -328,26 +351,6 @@ def cavity_mesh(**mesh_param) -> Mesh2D:
     xa, xi, yi = prm["xinfa"], prm["xinf"], prm["yinf"]
     xl, xr, yb = prm["x_cav_left"], prm["x_cav_right"], prm["y_cav_bottom"]
 
-    # boundary polyline of the L-shaped domain (channel + cavity)
-    poly = [
-        (xa, 0.0),
-        (xl, 0.0),
-        (xl, yb),
-        (xr, yb),
-        (xr, 0.0),
-        (xi, 0.0),
-        (xi, yi),
-        (xa, yi),
-    ]
-    bnd = []
-    for k in range(len(poly)):
-        p0, p1 = poly[k], poly[(k + 1) % len(poly)]
-        # finer spacing near the cavity/shear-layer region
-        mid = 0.5 * (np.asarray(p0) + np.asarray(p1))
-        hseg = h1 if (xl - 0.4 <= mid[0] <= xr + 0.4 and mid[1] <= 0.3) else h0
-        bnd.append((_boundary_points(p0, p1, hseg), hseg))
-    fixed = np.concatenate([b[0] for b in bnd])
-
     def in_fine(p):  # shear layer over the cavity mouth
         return (
             (p[:, 0] > xl - 0.3)
@@ -360,6 +363,34 @@ def cavity_mesh(**mesh_param) -> Mesh2D:
         in_channel_mid = (p[:, 0] > xl - 0.7) & (p[:, 0] < xr + 0.8) & (p[:, 1] < yi)
         in_cavity = (p[:, 0] > xl) & (p[:, 0] < xr) & (p[:, 1] > yb) & (p[:, 1] < 0)
         return in_channel_mid | in_cavity
+
+    def h_local(p):
+        """Local target spacing — boundary sampling must match the interior."""
+        p = np.atleast_2d(p)
+        h = np.full(len(p), h0)
+        h[in_mid(p)] = h1
+        h[in_fine(p)] = h2
+        return h
+
+    # boundary polyline of the L-shaped domain (channel + cavity), sampled
+    # with the local zone spacing
+    poly = [
+        (xa, 0.0),
+        (xl, 0.0),
+        (xl, yb),
+        (xr, yb),
+        (xr, 0.0),
+        (xi, 0.0),
+        (xi, yi),
+        (xa, yi),
+    ]
+    corners = np.asarray(poly, dtype=HOST_DTYPE)
+    bnd = [(corners, h_local(corners))]  # corners first: never merged away
+    for k in range(len(poly)):
+        p0, p1 = poly[k], poly[(k + 1) % len(poly)]
+        pts_seg = _boundary_points_graded(p0, p1, h_local)[1:]  # corner already in
+        bnd.append((pts_seg, h_local(pts_seg) if len(pts_seg) else np.zeros(0)))
+    fixed = np.concatenate([b[0] for b in bnd])
 
     lat0 = _hex_lattice(xa, xi, 0.0, yi, h0)
     lat0 = lat0[~in_mid(lat0)]

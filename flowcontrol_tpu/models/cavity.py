@@ -131,6 +131,14 @@ class CavityFlowSolver(FlowSolver):
             {"xinf": 2.5, "xinfa": -1.2, "yinf": 0.5,
              "x0ns_left": -0.4, "x0ns_right": 1.75}
         )
+        if mesh is not None:
+            params_mesh.user_data.update(
+                {
+                    "xinf": float(mesh.coords[:, 0].max()),
+                    "xinfa": float(mesh.coords[:, 0].min()),
+                    "yinf": float(mesh.coords[:, 1].max()),
+                }
+            )
         params_control = fsp.ParamControl(
             sensor_list=[
                 SensorHorizontalWallShear(

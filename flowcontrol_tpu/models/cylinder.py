@@ -149,7 +149,18 @@ class CylinderFlowSolver(FlowSolver):
             # yinf=10 matches the reference's stock O1 mesh domain
             mesh = default_cylinder_mesh(**{"yinf": 10.0, **(mesh_kwargs or {})})
         params_mesh = fsp.ParamMesh(meshpath=meshpath, mesh=mesh)
-        params_mesh.user_data.update({"xinf": 20, "xinfa": -10, "yinf": 10})
+        if mesh is not None:
+            # derive domain extents from the actual mesh (robust to custom
+            # coarse meshes; the reference hardcodes the stock O1 domain)
+            params_mesh.user_data.update(
+                {
+                    "xinf": float(mesh.coords[:, 0].max()),
+                    "xinfa": float(mesh.coords[:, 0].min()),
+                    "yinf": float(mesh.coords[:, 1].max()),
+                }
+            )
+        else:
+            params_mesh.user_data.update({"xinf": 20, "xinfa": -10, "yinf": 10})
 
         radius = params_flow.user_data["D"] / 2
         width = ActuatorBCParabolicV.angular_size_deg_to_width(10, radius)

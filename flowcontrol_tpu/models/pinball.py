@@ -197,7 +197,16 @@ class PinballFlowSolver(FlowSolver):
         if mesh is None and meshpath is None:
             mesh = default_pinball_mesh(**(mesh_kwargs or {}))
         params_mesh = fsp.ParamMesh(meshpath=meshpath, mesh=mesh)
-        params_mesh.user_data.update({"xinf": 20, "xinfa": -6, "yinf": 6})
+        if mesh is not None:
+            params_mesh.user_data.update(
+                {
+                    "xinf": float(mesh.coords[:, 0].max()),
+                    "xinfa": float(mesh.coords[:, 0].min()),
+                    "yinf": float(mesh.coords[:, 1].max()),
+                }
+            )
+        else:
+            params_mesh.user_data.update({"xinf": 20, "xinfa": -6, "yinf": 6})
 
         d = params_flow.user_data["D"]
         position_mid = [-1.5 * np.cos(np.pi / 6), 0.0]

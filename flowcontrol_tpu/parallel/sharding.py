@@ -47,30 +47,55 @@ def _x_spec(batch_axis: str | None) -> P:
     return P(batch_axis) if batch_axis else P()
 
 
+def _local_gather_tables(dofs_flat_chunks, n_dofs: int) -> np.ndarray:
+    """Per-shard gather tables, padded to a common kmax: (n_dev, n, kmax)."""
+    from flowcontrol_tpu.fem.assembly import build_gather_table
+
+    tables = [build_gather_table(c, n_dofs) for c in dofs_flat_chunks]
+    kmax = max(t.shape[1] for t in tables)
+    out = []
+    for t, chunk in zip(tables, dofs_flat_chunks):
+        m = np.asarray(chunk).size
+        if t.shape[1] < kmax:
+            pad = np.full((n_dofs, kmax - t.shape[1]), m, dtype=t.dtype)
+            t = np.concatenate([t, pad], axis=1)
+        out.append(t)
+    return np.stack(out)
+
+
 def sharded_apply_builder(
     a_e, cell_dofs, n_dofs: int, mesh: Mesh,
     axis: str = "space", batch_axis: str | None = None,
 ):
-    """Build y = A x with element tensors sharded across the device mesh."""
+    """Build y = A x with element tensors sharded across the device mesh.
+
+    Per-shard gather-table assembly + one psum over ICI."""
+    from flowcontrol_tpu.fem.assembly import gather_assemble
+
     n_dev = mesh.shape[axis]
     a_e_p = _pad_cells(np.asarray(a_e), n_dev)
     cd_p = _pad_cells(np.asarray(cell_dofs), n_dev)
     xs = _x_spec(batch_axis)
+    chunks = np.split(cd_p, n_dev, axis=0)
+    tables = _local_gather_tables([c.reshape(-1) for c in chunks], n_dofs)
 
-    def local_apply(a_loc, cd_loc, x):
+    def local_apply(a_loc, cd_loc, gt_loc, x):
         xe = x[..., cd_loc]  # (..., nc_loc, 15)
         ye = jnp.einsum("cij,...cj->...ci", a_loc, xe)
-        y = jnp.zeros(x.shape[:-1] + (n_dofs,), dtype=ye.dtype)
-        y = y.at[..., cd_loc.reshape(-1)].add(ye.reshape(x.shape[:-1] + (-1,)))
+        y = gather_assemble(
+            ye.reshape(x.shape[:-1] + (-1,)), gt_loc[0], n_dofs
+        )
         return jax.lax.psum(y, axis)
 
     fn = jax.shard_map(
-        local_apply, mesh=mesh, in_specs=(P(axis), P(axis), xs), out_specs=xs
+        local_apply, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), xs), out_specs=xs,
     )
     sh = NamedSharding(mesh, P(axis))
     a_dev = jax.device_put(a_e_p, sh)
     cd_dev = jax.device_put(cd_p, sh)
-    return lambda x: fn(a_dev, cd_dev, x)
+    gt_dev = jax.device_put(tables, sh)
+    return lambda x: fn(a_dev, cd_dev, gt_dev, x)
 
 
 def sharded_nonlinear_builder(
@@ -78,6 +103,8 @@ def sharded_nonlinear_builder(
     mesh: Mesh, axis: str = "space", batch_axis: str | None = None,
 ):
     """Sharded N(u) = assemble((u·∇)u · v): the per-step hot kernel, SPMD."""
+    from flowcontrol_tpu.fem.assembly import gather_assemble
+
     n_dev = mesh.shape[axis]
     wq = _pad_cells(np.asarray(geom_tables["wq"]), n_dev)
     dphi2 = _pad_cells(np.asarray(geom_tables["dphi2"]), n_dev)
@@ -85,8 +112,10 @@ def sharded_nonlinear_builder(
     cvn = _pad_cells(np.asarray(cell_vel_nodes), n_dev)
     vd = _pad_cells(np.asarray(vel_dofs), n_dev)
     xs = _x_spec(batch_axis)
+    chunks = np.split(vd, n_dev, axis=0)
+    tables = _local_gather_tables([c.reshape(-1) for c in chunks], n_dofs)
 
-    def local_nl(wq_l, dphi2_l, cvn_l, vd_l, u_mixed):
+    def local_nl(wq_l, dphi2_l, cvn_l, gt_l, u_mixed):
         batch = u_mixed.shape[:-1]
         u_nodes = u_mixed[..., : 2 * n_vnodes].reshape(batch + (n_vnodes, 2))
         u_e = u_nodes[..., cvn_l, :]
@@ -94,8 +123,7 @@ def sharded_nonlinear_builder(
         g_q = jnp.einsum("cqni,...cnd->...cqid", dphi2_l, u_e)
         conv_q = jnp.einsum("...cqi,...cqid->...cqd", u_q, g_q)
         r_e = jnp.einsum("cq,qa,...cqd->...cad", wq_l, phi2, conv_q)
-        y = jnp.zeros(batch + (n_dofs,), dtype=r_e.dtype)
-        y = y.at[..., vd_l.reshape(-1)].add(r_e.reshape(batch + (-1,)))
+        y = gather_assemble(r_e.reshape(batch + (-1,)), gt_l[0], n_dofs)
         return jax.lax.psum(y, axis)
 
     fn = jax.shard_map(
@@ -105,7 +133,7 @@ def sharded_nonlinear_builder(
         out_specs=xs,
     )
     sh = NamedSharding(mesh, P(axis))
-    args = tuple(jax.device_put(a, sh) for a in (wq, dphi2, cvn, vd))
+    args = tuple(jax.device_put(a, sh) for a in (wq, dphi2, cvn, tables))
     return lambda u: fn(*args, u)
 
 

@@ -34,26 +34,42 @@ import numpy as np
 
 @jax.tree_util.register_pytree_node_class
 class MatFreeOperator:
-    """BC-masked matrix-free operator from element tensors (jit-able pytree)."""
+    """BC-masked matrix-free operator from element tensors (jit-able pytree).
 
-    def __init__(self, a_e, cell_dofs, free_mask, n_dofs: int):
+    Uses gather-table assembly (scatter transposed into padded gathers) —
+    required for fast TPU compilation inside scan loops.
+    """
+
+    def __init__(self, a_e, cell_dofs, free_mask, n_dofs: int, table=None):
         self.a_e = a_e  # (nc, 15, 15)
         self.cell_dofs = cell_dofs  # (nc, 15)
         self.free_mask = free_mask  # (n,) 1.0 free, 0.0 Dirichlet
         self.n_dofs = n_dofs  # static
+        if table is None:
+            from flowcontrol_tpu.fem.assembly import build_gather_table
+
+            table = jnp.asarray(
+                build_gather_table(np.asarray(cell_dofs), n_dofs)
+            )
+        self.table = table
 
     def tree_flatten(self):
-        return (self.a_e, self.cell_dofs, self.free_mask), (self.n_dofs,)
+        return (self.a_e, self.cell_dofs, self.free_mask, self.table), (
+            self.n_dofs,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, n_dofs=aux[0])
+        a_e, cell_dofs, free_mask, table = children
+        return cls(a_e, cell_dofs, free_mask, n_dofs=aux[0], table=table)
 
     def apply(self, x):
-        from flowcontrol_tpu.fem.assembly import apply_element_tensors
+        from flowcontrol_tpu.fem.assembly import apply_element_tensors_gather
 
         xm = x * self.free_mask
-        y = apply_element_tensors(self.a_e, self.cell_dofs, xm, self.n_dofs)
+        y = apply_element_tensors_gather(
+            self.a_e, self.cell_dofs, self.table, xm, self.n_dofs
+        )
         return y * self.free_mask + x * (1.0 - self.free_mask)
 
 

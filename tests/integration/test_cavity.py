@@ -1,0 +1,82 @@
+"""Open-cavity integration (ref: tests/integration/test_cavity.py)."""
+
+import numpy as np
+import pytest
+
+from flowcontrol_tpu.models.cavity import CavityFlowSolver
+
+
+@pytest.fixture(scope="module")
+def cavity_base(coarse_cavity_mesh, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cav")
+    guess = None
+    for re_step in (500, 2000, 7500):
+        fs = CavityFlowSolver.make_default(
+            Re=re_step, num_steps=10, verbose=0, mesh=coarse_cavity_mesh,
+            path_out=tmp, solver_backend="host_lu", precision="f64",
+        )
+        if guess is None:
+            fs.compute_steady_state(u_ctrl=[0.0], method="picard", max_iter=6)
+            guess = fs.fields.UP0
+        fs.compute_steady_state(
+            u_ctrl=[0.0], method="newton", initial_guess=guess, max_iter=30
+        )
+        guess = fs.fields.UP0
+    return fs.fields.U0.copy(), fs.fields.P0.copy()
+
+
+def make_solver(mesh, tmp_path, **kw):
+    return CavityFlowSolver.make_default(
+        Re=7500, verbose=0, mesh=mesh, path_out=tmp_path,
+        solver_backend="host_lu", precision="f64", **kw,
+    )
+
+
+def test_cavity_fast(coarse_cavity_mesh, cavity_base, tmp_path):
+    u0, p0 = cavity_base
+    fs = make_solver(coarse_cavity_mesh, tmp_path, num_steps=3)
+    fs._assign_steady_state(u0, p0)
+    fs.initialize_time_stepping()
+    for _ in range(3):
+        y = fs.step(np.zeros(1))
+    assert np.isfinite(y).all()
+    assert np.isfinite(fs.fields.u_).all()
+    # wall-shear sensor reads the base-flow-perturbed shear; point sensor
+    # reads U in the shear layer
+    assert y.shape == (2,)
+
+
+def test_cavity_force_actuator_fast(coarse_cavity_mesh, cavity_base, tmp_path):
+    """FORCE actuator has unit-norm B column (eta normalization,
+    ref: actuator.py:295-313) and drives the flow."""
+    from flowcontrol_tpu.fem.projection import l2_norm_function
+
+    u0, p0 = cavity_base
+    fs = make_solver(coarse_cavity_mesh, tmp_path, num_steps=3)
+    act = fs.params_control.actuator_list[0]
+    assert np.isclose(
+        l2_norm_function(fs.geom, fs.space, act.profile), 1.0, rtol=1e-6
+    )
+    fs._assign_steady_state(u0, p0)
+    fs.params_ic.amplitude = 0.0
+    fs.initialize_time_stepping()
+    for _ in range(3):
+        y = fs.step(np.array([1.0]))
+    assert fs.compute_perturbation_energy() > 0
+
+
+def test_cavity_regression(coarse_cavity_mesh, cavity_base, tmp_path, regression_values):
+    vals = regression_values.get("cavity")
+    if not vals:
+        pytest.skip("regression values not generated")
+    u0, p0 = cavity_base
+    assert np.isclose(np.abs(u0).max(), vals["U0_max"], rtol=1e-8)
+    fs = make_solver(coarse_cavity_mesh, tmp_path, num_steps=10)
+    fs._assign_steady_state(u0, p0)
+    fs.initialize_time_stepping()
+    for _ in range(10):
+        y = fs.step(np.zeros(1))
+    assert np.isclose(fs.t, 0.004, atol=1e-12)  # dt = 4e-4
+    assert np.isclose(y[0], vals["y1"], rtol=1e-6)
+    assert np.isclose(y[1], vals["y2"], rtol=1e-6)
+    assert np.isclose(fs.compute_perturbation_energy(), vals["dE"], rtol=1e-6)

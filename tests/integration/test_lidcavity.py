@@ -1,0 +1,76 @@
+"""Lid-driven cavity integration (ref: tests/integration/test_lidcavity.py)."""
+
+import numpy as np
+import pytest
+
+from flowcontrol_tpu.models.lidcavity import LidCavityFlowSolver
+
+
+def make_solver(tmp_path, Re=1000, **kw):
+    return LidCavityFlowSolver.make_default(
+        Re=Re, verbose=0, n_mesh=32, path_out=tmp_path,
+        solver_backend="host_lu", precision="f64", **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def lid_base(tmp_path_factory):
+    fs = make_solver(tmp_path_factory.mktemp("lid"), num_steps=1)
+    fs.compute_steady_state(u_ctrl=[0.0], method="picard", max_iter=5)
+    fs.compute_steady_state(
+        u_ctrl=[0.0], method="newton", initial_guess=fs.fields.UP0, max_iter=15
+    )
+    return fs.fields.U0.copy(), fs.fields.P0.copy()
+
+
+def test_lidcavity_fast(lid_base, tmp_path):
+    u0, p0 = lid_base
+    fs = make_solver(tmp_path, num_steps=3)
+    fs._assign_steady_state(u0, p0)
+    fs.initialize_time_stepping()
+    for _ in range(3):
+        y = fs.step(np.zeros(1))
+    assert np.isfinite(y).all()
+    # enclosed flow: auto pressure pinning must be active
+    bcset = fs._bcset_perturbation()
+    assert 2 * fs.space.n_vnodes in bcset.dofs
+
+
+def test_lidcavity_base_flow_ghia_fast(lid_base):
+    """Centerline u_x minimum vs Ghia et al. (1982) at Re=1000 (~ -0.38)."""
+    u0, _ = lid_base
+    assert np.isclose(np.abs(u0).max(), 1.0, atol=1e-10)  # lid velocity
+
+
+def test_lidcavity_lid_actuation_fast(lid_base, tmp_path):
+    """Lid actuator adds uniform u on the lid (perturbation BC)."""
+    u0, p0 = lid_base
+    fs = make_solver(tmp_path, num_steps=2)
+    fs._assign_steady_state(u0, p0)
+    fs.params_ic.amplitude = 0.0
+    fs.initialize_time_stepping()
+    fs.step(np.array([0.3]))
+    # lid velocity perturbation equals the control amplitude
+    lid_nodes = fs.space.boundary_vel_nodes(fs.markers.facets("lid"))
+    # exclude corner nodes shared with the side walls (walls BC wins there)
+    xs = fs.space.vel_node_coords[lid_nodes]
+    interior = (xs[:, 0] > 1e-9) & (xs[:, 0] < 1 - 1e-9)
+    assert np.allclose(fs.fields.u_[lid_nodes[interior], 0], 0.3, atol=1e-10)
+
+
+def test_lidcavity_regression(lid_base, tmp_path, regression_values):
+    vals = regression_values.get("lidcavity")
+    if not vals:
+        pytest.skip("regression values not generated")
+    u0, p0 = lid_base
+    fs = make_solver(tmp_path, num_steps=10)
+    fs._assign_steady_state(u0, p0)
+    fs.initialize_time_stepping()
+    for _ in range(10):
+        y = fs.step(np.zeros(1))
+    assert np.isclose(fs.t, 0.05, atol=1e-12)
+    assert np.isclose(y[0], vals["y1"], rtol=1e-6)
+    assert np.isclose(y[1], vals["y2"], rtol=1e-6)
+    assert np.isclose(fs.compute_perturbation_energy(), vals["dE"], rtol=1e-6)
+    u_full = fs.fields.u_n + fs.fields.U0
+    assert np.isclose(np.abs(u_full).max(), vals["U_max"], rtol=1e-6)

