@@ -81,7 +81,8 @@ class LidCavityFlowSolver(FlowSolver):
         params_time = fsp.ParamTime(num_steps=num_steps, dt=0.005, Tstart=Tstart)
         params_save = fsp.ParamSave(save_every=save_every, path_out=Path(path_out))
         params_solver = fsp.ParamSolver(
-            throw_error=True, is_eq_nonlinear=True, shift=0.0, **solver_kwargs
+            **{**dict(throw_error=True, is_eq_nonlinear=True, shift=0.0),
+               **solver_kwargs}
         )
         if mesh is None and meshpath is None:
             from flowcontrol_tpu.mesh.generation import lidcavity_mesh

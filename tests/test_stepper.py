@@ -1,0 +1,205 @@
+"""Stepper engine: scheme/backend consistency, batching, fused closed loop.
+
+Validates that the jitted TPU step math reproduces the reference
+time-stepping semantics (ref: src/flowcontrol/flowsolver.py:703-799 and
+nsforms.py schemes) across solver backends and batching modes.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flowcontrol_tpu.models.lidcavity import LidCavityFlowSolver
+
+
+def make_fs(tmp_path, scheme="bdf", backend="host_lu", **kw):
+    fs = LidCavityFlowSolver.make_default(
+        Re=500, num_steps=10, verbose=0, n_mesh=12, path_out=tmp_path,
+        solver_backend=backend, precision="f64", time_scheme=scheme, **kw,
+    )
+    return fs
+
+
+@pytest.fixture(scope="module")
+def lid_base(tmp_path_factory):
+    fs = make_fs(tmp_path_factory.mktemp("s"))
+    fs.compute_steady_state(u_ctrl=[0.0], method="picard", max_iter=4)
+    fs.compute_steady_state(
+        u_ctrl=[0.0], method="newton", initial_guess=fs.fields.UP0, max_iter=10
+    )
+    return fs.fields.U0.copy(), fs.fields.P0.copy()
+
+
+def run_steps(fs, base, n=5, u=None):
+    fs._assign_steady_state(*base)
+    fs.initialize_time_stepping()
+    u = np.zeros(1) if u is None else u
+    for _ in range(n):
+        y = fs.step(u)
+    return y, np.asarray(fs.fields.up_)
+
+
+def test_backends_agree(lid_base, tmp_path):
+    """dense_lu (device factorization) matches host splu to f64 precision."""
+    y1, x1 = run_steps(make_fs(tmp_path / "a", backend="host_lu"), lid_base)
+    y2, x2 = run_steps(make_fs(tmp_path / "b", backend="dense_lu"), lid_base)
+    assert np.allclose(x1, x2, atol=1e-9)
+    y3, x3 = run_steps(make_fs(tmp_path / "c", backend="gmres"), lid_base)
+    assert np.allclose(x1, x3, atol=1e-7)
+
+
+def test_cn_scheme_runs_and_differs(lid_base, tmp_path):
+    """Crank-Nicolson is self-starting and O(dt²)-different from BDF."""
+    y1, x1 = run_steps(make_fs(tmp_path / "a", scheme="bdf"), lid_base)
+    y2, x2 = run_steps(make_fs(tmp_path / "b", scheme="cn"), lid_base)
+    assert np.isfinite(x2).all()
+    rel = np.linalg.norm(x1 - x2) / np.linalg.norm(x1)
+    assert 0 < rel < 0.05  # same trajectory, different scheme error
+
+
+def test_temporal_convergence_bdf2_vs_cn(lid_base, tmp_path):
+    """Halving dt brings BDF and CN solutions closer (2nd-order schemes)."""
+
+    def run(scheme, dt, n):
+        fs = make_fs(tmp_path / f"{scheme}{dt}", scheme=scheme)
+        fs.params_time.dt = dt
+        fs.forms.dt = dt
+        y, x = run_steps(fs, lid_base, n=n)
+        return x
+
+    x_b1 = run("bdf", 0.01, 4)
+    x_c1 = run("cn", 0.01, 4)
+    x_b2 = run("bdf", 0.005, 8)
+    x_c2 = run("cn", 0.005, 8)
+    d1 = np.linalg.norm(x_b1 - x_c1)
+    d2 = np.linalg.norm(x_b2 - x_c2)
+    assert d2 < 0.5 * d1  # schemes converge to each other as dt -> 0
+
+
+def test_linearized_mode(lid_base, tmp_path):
+    """is_eq_nonlinear=False drops (u'·∇)u' (ref: nsforms.py b0 toggle):
+    tiny perturbations evolve identically; finite ones differ."""
+    fs_n = make_fs(tmp_path / "n")
+    fs_l = make_fs(tmp_path / "l", is_eq_nonlinear=False)
+    for fs in (fs_n, fs_l):
+        fs.params_ic.amplitude = 1e-8
+    y1, x1 = run_steps(fs_n, lid_base, n=3)
+    y2, x2 = run_steps(fs_l, lid_base, n=3)
+    assert np.allclose(x1, x2, atol=1e-12)
+
+
+def test_shift_mode(lid_base, tmp_path):
+    """Spectral shift -σ·u grows the solution by ~exp(σt)."""
+    fs0 = make_fs(tmp_path / "s0")
+    fs1 = make_fs(tmp_path / "s1", shift=2.0)
+    _, x0 = run_steps(fs0, lid_base, n=5)
+    _, x1 = run_steps(fs1, lid_base, n=5)
+    e0 = np.linalg.norm(x0[: fs0.space.n_vel_dofs])
+    e1 = np.linalg.norm(x1[: fs1.space.n_vel_dofs])
+    assert e1 > e0 * np.exp(2.0 * 0.025 * 0.5)  # grew measurably faster
+
+
+def test_batched_rollout_matches_sequential(lid_base, tmp_path):
+    """vmap/batched carry gives bitwise-same trajectories per batch member."""
+    fs = make_fs(tmp_path, backend="dense_lu")
+    fs._assign_steady_state(*lid_base)
+    fs.initialize_time_stepping()
+    st = fs.stepper
+    up0 = np.asarray(fs._carry.u_n)
+    rng = np.random.default_rng(0)
+    batch = np.stack([up0, up0 * 1.1, up0 * 0.5 + 1e-3 * rng.standard_normal(up0.shape)])
+    carry_b = st.init_carry(jnp.asarray(batch))
+    u_seq = np.zeros((4, 3, 1))
+    roll = st.make_rollout_open_loop()
+    _, outs = roll(carry_b, u_seq)
+    ys_b = np.asarray(outs.y)  # (T, B, ns)
+    for b in range(3):
+        carry_1 = st.init_carry(jnp.asarray(batch[b]))
+        _, outs1 = roll(carry_1, np.zeros((4, 1)))
+        assert np.allclose(ys_b[:, b, :], np.asarray(outs1.y), atol=1e-11)
+
+
+def test_fused_closed_loop_matches_python_loop(lid_base, tmp_path):
+    """lax.scan-fused plant+controller == reference-style Python lockstep
+    (ref: run_cylinder_example.py:83-86)."""
+    from flowcontrol_tpu.core.controller import Controller
+
+    k = Controller.from_matrices(
+        A=np.array([[-1.0, 0.5], [0.0, -2.0]]),
+        B=np.array([[1.0], [0.5]]),
+        C=np.array([[0.3, 0.1]]),
+        D=np.array([[0.05]]),
+    )
+    n_steps = 6
+    # python lockstep
+    fs1 = make_fs(tmp_path / "p", backend="dense_lu")
+    fs1._assign_steady_state(*lid_base)
+    fs1.initialize_time_stepping()
+    k.reset()
+    y = fs1.y_meas[:1]
+    ys_ref = []
+    for _ in range(n_steps):
+        u = k.step(-y, fs1.params_time.dt)
+        y_full = fs1.step(u)
+        y = y_full[:1]
+        ys_ref.append(y_full)
+    ys_ref = np.array(ys_ref)
+
+    # fused rollout (controller fed sensor 1 only)
+    fs2 = make_fs(tmp_path / "f", backend="dense_lu")
+    fs2._assign_steady_state(*lid_base)
+    fs2.initialize_time_stepping()
+    st = fs2.stepper
+    ad, bd, cd, dd = k.discrete(fs2.params_time.dt, dtype=np.float64)
+    # pad controller to consume the full y vector (uses y[0] only)
+    sel = np.array([[1.0, 0.0]])
+    k_mats = (ad, bd @ sel, cd, dd @ sel)
+    y0 = np.asarray(fs2.y_meas)
+    _, (ys, des, us, div) = st.rollout_closed_loop(
+        fs2._carry, k_mats, y0, n_steps, feedback_sign=-1.0
+    )
+    assert np.allclose(np.asarray(ys), ys_ref, atol=1e-10)
+
+
+def test_divergence_detection(lid_base, tmp_path):
+    """throw_error=False returns None on divergence (ref: flowsolver.py:727-737)."""
+    fs = make_fs(tmp_path, throw_error=False)
+    fs._assign_steady_state(*lid_base)
+    fs.initialize_time_stepping()
+    fs.step(np.zeros(1))  # builds the stepper/carry
+    # inject a NaN into the state
+    carry = fs._carry
+    bad = np.asarray(carry.u_n).copy()
+    bad[0] = np.nan
+    fs._carry = carry._replace(u_n=jnp.asarray(bad))
+    out = fs.step(np.zeros(1))
+    assert out is None
+
+
+def test_sharded_step_matches_unsharded(lid_base, tmp_path):
+    """Element-sharded SPMD step == single-device step (8 CPU devices)."""
+    from jax.sharding import Mesh
+    from flowcontrol_tpu.parallel.sharding import shard_stepper
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    fs1 = make_fs(tmp_path / "u", backend="dense_lu")
+    fs1._assign_steady_state(*lid_base)
+    fs1.initialize_time_stepping()
+    _, x_ref = run_steps(make_fs(tmp_path / "r", backend="dense_lu"), lid_base, n=3)
+
+    fs2 = make_fs(tmp_path / "s", backend="dense_lu")
+    fs2._assign_steady_state(*lid_base)
+    fs2.initialize_time_stepping()
+    st = fs2.stepper
+    mesh = Mesh(np.array(jax.devices()), ("space",))
+    shard_stepper(st, mesh, axis="space")
+    step = jax.jit(st.step_fn())
+    carry = st.init_carry(fs2._carry.u_n)
+    with mesh:
+        for _ in range(3):
+            carry, out = step(st._dev, carry, jnp.zeros(1))
+    assert np.allclose(np.asarray(carry.u_n), x_ref, atol=1e-9)
