@@ -95,13 +95,21 @@ class SteadyStateSolver:
         atol: float = 1e-10,
         rtol: float = 1e-9,
         u_ctrl=None,
+        ptc_dt0: float | None = None,
     ) -> np.ndarray:
         """Newton iteration with exact (hand-linearized) Jacobian.
 
         The Jacobian equals conv(U) + lin(U) + (1/Re)K + pressure blocks —
         identical to dolfin.derivative of the steady form
         (ref: steadystate.py:86-95 and operatorgetter.py:61-64).
+
+        ``ptc_dt0``: optional pseudo-transient continuation — augments the
+        Jacobian with M/dt_k and grows dt_k by the SER rule. Globalizes
+        Newton for stiff high-Re base flows (e.g. the open cavity at
+        Re=7500) where the plain step leaves the basin of attraction.
         """
+        from flowcontrol_tpu.fem.assembly import mass_velocity_element
+
         up = self.bcs.apply_vector(up0, u_ctrl=u_ctrl)
         r = self.residual(up)
         r[self.bcs.dofs] = 0.0  # up satisfies the BCs exactly
@@ -110,11 +118,20 @@ class SteadyStateSolver:
         if r0 < atol:
             return up
         r_prev = r0
+        m_csr = None
+        dt_k = ptc_dt0
+        if ptc_dt0 is not None:
+            m_csr = to_scipy_csr(
+                mass_velocity_element(self.geom), self.space.cell_dofs,
+                self.space.n_dofs,
+            )
         for it in range(1, max_iter + 1):
             j_e = linear_operator_element(
                 self.geom, self._u_cells(up), self.inv_re
             )
             j = to_scipy_csr(j_e, self.space.cell_dofs, self.space.n_dofs)
+            if dt_k is not None:
+                j = j + m_csr / dt_k
             j_bc, _ = self.bcs.eliminate_csr(j)
             rhs = -r
             rhs[self.bcs.dofs] = 0.0  # homogeneous increments at Dirichlet dofs
@@ -130,12 +147,16 @@ class SteadyStateSolver:
                 if rn < r_prev or alpha < 1e-3:
                     break
                 alpha *= 0.5
+            # SER update of the pseudo-timestep: grow as the residual drops
+            if dt_k is not None:
+                dt_k = min(dt_k * max(r_prev / max(rn, 1e-300), 1.0), 1e12)
             up, r, r_prev = up_try, r_try, rn
             if self.verbose:
+                extra = f", ptc_dt = {dt_k:.2e}" if dt_k is not None else ""
                 logger.info(
                     f"Newton iteration {it}: r (abs) = {rn:.3e} (tol={atol:.0e}), "
                     f"r (rel) = {rn / (r0 + 1e-300):.3e} (tol={rtol:.0e}), "
-                    f"step = {alpha:g}"
+                    f"step = {alpha:g}{extra}"
                 )
             if rn < atol or rn < rtol * r0:
                 logger.info(f"Newton converged in {it} iterations.")

@@ -111,20 +111,29 @@ def _boundary_points_graded(p0, p1, h_fn) -> np.ndarray:
 
     Boundary spacing must track the adjacent interior density, otherwise
     Delaunay boundary recovery cuts corners where fine interior points sit
-    closer to the wall than the wall points are to each other.
+    closer to the wall than the wall points are to each other. Spacing is
+    halved within 2h of the segment endpoints: small corner edges have small
+    circumcircles, which keeps the corner triangles Delaunay and prevents
+    corner chamfering.
     """
     p0, p1 = np.asarray(p0, float), np.asarray(p1, float)
     length = np.linalg.norm(p1 - p0)
     direction = (p1 - p0) / length
     ts = [0.0]
+    hs = []
     while True:
         pt = p0 + ts[-1] * direction
         h = float(h_fn(pt[None, :])[0])
+        dist_end = min(ts[-1], length - ts[-1])
+        if dist_end < 2.0 * h:
+            h = max(0.5 * h, 1e-12)
+        hs.append(h)
         t_next = ts[-1] + h
         if t_next >= length - 0.4 * h:
             break
         ts.append(t_next)
-    return p0[None, :] + np.asarray(ts)[:, None] * direction[None, :]
+    pts = p0[None, :] + np.asarray(ts)[:, None] * direction[None, :]
+    return pts, np.asarray(hs[: len(ts)])
 
 
 def _rect_boundary(xmin, ymin, xmax, ymax, h) -> np.ndarray:
@@ -385,11 +394,12 @@ def cavity_mesh(**mesh_param) -> Mesh2D:
         (xa, yi),
     ]
     corners = np.asarray(poly, dtype=HOST_DTYPE)
-    bnd = [(corners, h_local(corners))]  # corners first: never merged away
+    # corners first (never merged away), labeled with the refined spacing
+    bnd = [(corners, 0.5 * h_local(corners))]
     for k in range(len(poly)):
         p0, p1 = poly[k], poly[(k + 1) % len(poly)]
-        pts_seg = _boundary_points_graded(p0, p1, h_local)[1:]  # corner already in
-        bnd.append((pts_seg, h_local(pts_seg) if len(pts_seg) else np.zeros(0)))
+        pts_seg, hs_seg = _boundary_points_graded(p0, p1, h_local)
+        bnd.append((pts_seg[1:], hs_seg[1:]))  # corner already included
     fixed = np.concatenate([b[0] for b in bnd])
 
     lat0 = _hex_lattice(xa, xi, 0.0, yi, h0)
@@ -401,10 +411,6 @@ def cavity_mesh(**mesh_param) -> Mesh2D:
     lat_f = _hex_lattice(xl - 0.3, xr + 0.3, -0.35, 0.25, h2)
     lat_f = lat_f[in_fine(lat_f)]
 
-    points = _merge_point_groups(
-        bnd + [(lat_f, h2), (lat_m, h1), (lat0, h0)]
-    )
-
     def inside(p):
         in_channel = (
             (p[:, 0] > xa) & (p[:, 0] < xi) & (p[:, 1] > 0) & (p[:, 1] < yi)
@@ -412,12 +418,12 @@ def cavity_mesh(**mesh_param) -> Mesh2D:
         in_cav = (p[:, 0] > xl) & (p[:, 0] < xr) & (p[:, 1] > yb) & (p[:, 1] < 0)
         return in_channel | in_cav
 
-    points = points[
-        inside(points + np.array([[0.0, 1e-9]]))
-        | inside(points - np.array([[0.0, 1e-9]]))
-        | inside(points + np.array([[1e-9, 0.0]]))
-        | inside(points - np.array([[1e-9, 0.0]]))
-    ]
+    # clip LATTICE points strictly inside; boundary points are exempt
+    # (corner points fail single-axis probes and must never be clipped)
+    lats = []
+    for lat, h in [(lat_f, h2), (lat_m, h1), (lat0, h0)]:
+        lats.append((lat[inside(lat)], h))
+    points = _merge_point_groups(bnd + lats)
     return _delaunay_mesh(points, inside, fixed)
 
 

@@ -9,19 +9,16 @@ from flowcontrol_tpu.models.cavity import CavityFlowSolver
 @pytest.fixture(scope="module")
 def cavity_base(coarse_cavity_mesh, tmp_path_factory):
     tmp = tmp_path_factory.mktemp("cav")
-    guess = None
-    for re_step in (500, 2000, 7500):
-        fs = CavityFlowSolver.make_default(
-            Re=re_step, num_steps=10, verbose=0, mesh=coarse_cavity_mesh,
-            path_out=tmp, solver_backend="host_lu", precision="f64",
-        )
-        if guess is None:
-            fs.compute_steady_state(u_ctrl=[0.0], method="picard", max_iter=6)
-            guess = fs.fields.UP0
-        fs.compute_steady_state(
-            u_ctrl=[0.0], method="newton", initial_guess=guess, max_iter=30
-        )
-        guess = fs.fields.UP0
+    fs = CavityFlowSolver.make_default(
+        Re=7500, num_steps=10, verbose=0, mesh=coarse_cavity_mesh,
+        path_out=tmp, solver_backend="host_lu", precision="f64",
+    )
+    # reference recipe (ref: run_cavity_example.py:70-71)
+    fs.compute_steady_state(u_ctrl=[0.0], method="picard", max_iter=10, tol=1e-7)
+    fs.compute_steady_state(
+        u_ctrl=[0.0], method="newton", initial_guess=fs.fields.UP0, max_iter=10
+    )
+    assert np.abs(fs.fields.U0).max() < 2.0
     return fs.fields.U0.copy(), fs.fields.P0.copy()
 
 
