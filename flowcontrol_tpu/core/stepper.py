@@ -118,7 +118,7 @@ class Stepper:
                 a_dense = jnp.asarray(np.asarray(a_bc.todense()), dtype=dt)
                 lu, piv = jax.jit(jax.scipy.linalg.lu_factor)(a_dense)
                 dev["solvers"].append((lu, piv))
-            elif self.backend == "gmres":
+            elif self.backend in ("gmres", "bicgstab"):
                 from flowcontrol_tpu.solvers.krylov import (
                     MatFreeOperator,
                     build_simple_preconditioner,
@@ -217,13 +217,27 @@ class Stepper:
         if self.backend == "dense_lu":
             return dense_lu_solve(dev["solvers"][oi], rhs)
         if self.backend == "gmres":
-            from flowcontrol_tpu.solvers.krylov import fgmres_restarted
+            from jax.scipy.sparse.linalg import gmres
 
             op, pc = dev["solvers"][oi]
             x0 = jnp.zeros_like(rhs) if x_guess is None else x_guess
-            return fgmres_restarted(
-                op.apply, pc.apply, rhs, x0, self.gmres_iters, self.gmres_restarts
+            x, _ = gmres(
+                op.apply, rhs, x0=x0, M=pc.apply, tol=0.0,
+                restart=self.gmres_iters,
+                maxiter=self.gmres_iters * self.gmres_restarts,
+                solve_method="batched",
             )
+            return x
+        if self.backend == "bicgstab":
+            from jax.scipy.sparse.linalg import bicgstab
+
+            op, pc = dev["solvers"][oi]
+            x0 = jnp.zeros_like(rhs) if x_guess is None else x_guess
+            x, _ = bicgstab(
+                op.apply, rhs, x0=x0, M=pc.apply, tol=1e-8,
+                maxiter=self.gmres_iters * self.gmres_restarts,
+            )
+            return x
         # host fallback through pure_callback (f64, CPU) — validation path
         lu = self._host_lus[order]
 
