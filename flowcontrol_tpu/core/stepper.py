@@ -77,6 +77,11 @@ class Stepper:
     start_order: Any = 1  # 1 or 2 or 'cn' (restart_order)
     gmres_iters: int = 30
     gmres_restarts: int = 2
+    refine_steps: int | None = None  # dense-path iterative refinement (None=auto)
+    block_lu_bs: int = 1024
+    #: above this size, XLA's LU custom call exhausts VMEM on v5e — use our
+    #: matmul-blocked LU instead (solvers/block_lu.py)
+    LAPACK_LU_MAX_N = 8192
 
     def __post_init__(self):
         forms, space, bcs = self.forms, self.space, self.bcs
@@ -103,6 +108,9 @@ class Stepper:
         dev["lift_act"] = []
         dev["lift_static"] = []
         dev["lhs_e"] = []
+        dev["a_dense"] = []
+        self._solver_kinds: list = []
+        self._refine = 0
         free_mask = bcs.free_mask.astype(np.float64)
         for order in orders:
             lhs_e = forms.transient_lhs(order, u0)
@@ -115,9 +123,25 @@ class Stepper:
                 # factor ON DEVICE (MXU) in the target dtype: a dense f32 LU
                 # of the fixed time-step matrix — O(n^3) once, fast on TPU,
                 # avoids a minutes-long host LAPACK factorization
-                a_dense = jnp.asarray(np.asarray(a_bc.todense()), dtype=dt)
-                lu, piv = jax.jit(jax.scipy.linalg.lu_factor)(a_dense)
-                dev["solvers"].append((lu, piv))
+                a_np = np.asarray(a_bc.todense())
+                a_dense = jnp.asarray(a_np, dtype=dt)
+                if n <= self.LAPACK_LU_MAX_N:
+                    lu, piv = jax.jit(jax.scipy.linalg.lu_factor)(a_dense)
+                    self._solver_kinds.append("lapack")
+                    dev["solvers"].append((lu, piv))
+                else:
+                    from flowcontrol_tpu.solvers.block_lu import BlockLU
+
+                    blu = BlockLU(a_np, bs=self.block_lu_bs, dtype=dt)
+                    self._solver_kinds.append("block")
+                    dev["solvers"].append((blu.lu, blu.dinv))
+                # iterative refinement operand (matmul-cheap, gather-free)
+                refine = self.refine_steps
+                if refine is None:
+                    refine = 1 if dt == np.float32 else 0
+                if refine:
+                    dev["a_dense"].append(a_dense)
+                self._refine = refine
             elif self.backend in ("gmres", "bicgstab"):
                 from flowcontrol_tpu.solvers.krylov import (
                     MatFreeOperator,
@@ -141,9 +165,11 @@ class Stepper:
                     a_bc, bcs.free_mask, space.n_vel_dofs, dtype=dt, op=op
                 )
                 dev["solvers"].append((op, pc))
+                self._solver_kinds.append(self.backend)
             else:  # host_lu
                 self._host_lus[order] = HostSparseLU(a_bc)
-                dev["solvers"].append(None)
+                dev["solvers"].append(())
+                self._solver_kinds.append("host")
 
         # gather-table assembly maps (scatter transposed into padded gathers)
         dev["gt_mixed"] = jnp.asarray(build_gather_table(space.cell_dofs, n))
@@ -212,10 +238,25 @@ class Stepper:
         g = jnp.broadcast_to(g, rhs.shape[:-1] + g.shape[-1:])
         return rhs.at[..., self._bc_dofs].set(g)
 
+    def _dense_solve_once(self, dev, oi, rhs):
+        if self._solver_kinds[oi] == "lapack":
+            return dense_lu_solve(dev["solvers"][oi], rhs)
+        from flowcontrol_tpu.solvers.block_lu import block_lu_solve
+
+        return block_lu_solve(
+            dev["solvers"][oi], rhs, bs=self.block_lu_bs, n=self.space.n_dofs
+        )
+
     def _solve(self, dev, order, rhs, x_guess=None):
         oi = self._order_idx[order]
         if self.backend == "dense_lu":
-            return dense_lu_solve(dev["solvers"][oi], rhs)
+            x = self._dense_solve_once(dev, oi, rhs)
+            for _ in range(self._refine):
+                # one refinement step recovers direct-solver accuracy in f32:
+                # the residual matvec is a dense MXU op (no gathers)
+                r = rhs - x @ dev["a_dense"][oi].T
+                x = x + self._dense_solve_once(dev, oi, r)
+            return x
         if self.backend == "gmres":
             from jax.scipy.sparse.linalg import gmres
 
