@@ -91,7 +91,15 @@ class Stepper:
         self.n_act = self.force_cols.shape[0]
         self.ns = self.c_rows.shape[0]
 
-        orders = ("cn",) if self.scheme == "cn" else (1, 2)
+        if self.scheme == "cn":
+            orders = ("cn",)
+        elif self.start_order == 2:
+            # restart / benchmark mode: BDF2 from the first step
+            # (ref: restart_order=2, flowsolver.py:795-796) — halves the
+            # factorization setup
+            orders = (2,)
+        else:
+            orders = (1, 2)
         self._orders = orders
         self._order_idx = {o: i for i, o in enumerate(orders)}
         self._host_lus = {}
