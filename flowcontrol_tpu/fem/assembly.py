@@ -221,7 +221,16 @@ def build_gather_table(dofs_flat: np.ndarray, n_dofs: int) -> np.ndarray:
     This inverts the scatter into a pure GATHER + small-axis sum — the
     TPU-friendly assembly layout (scatter-adds inside lax.scan are
     pathologically slow to compile on the TPU toolchain; gathers are fast).
+    Uses the native single-pass kernel when available.
     """
+    try:
+        from flowcontrol_tpu import native
+
+        table = native.build_gather_table(dofs_flat, n_dofs)
+        if table is not None:
+            return table
+    except Exception:
+        pass
     dofs_flat = np.asarray(dofs_flat, dtype=np.int64).reshape(-1)
     m = dofs_flat.shape[0]
     order = np.argsort(dofs_flat, kind="stable")

@@ -220,11 +220,22 @@ class Mesh2D:
     def locate_cells(self, points: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Find the containing cell and barycentric coords of each point.
 
-        Brute-force vectorized point-in-triangle (host-side, setup only).
-        Returns ``(cell_idx (np,), bary (np, 3))``. Raises if a point lies
-        outside the mesh (beyond tolerance).
+        Uses the native uniform-grid kernel when available
+        (flowcontrol_tpu/native), with a brute-force vectorized numpy
+        fallback. Returns ``(cell_idx (np,), bary (np, 3))``. Raises if a
+        point lies outside the mesh (beyond tolerance).
         """
         points = np.atleast_2d(np.asarray(points, dtype=HOST_DTYPE))
+        try:
+            from flowcontrol_tpu import native
+
+            res = native.locate_points(self.coords, self.cells, points)
+            if res is not None:
+                return res[0].astype(INDEX_DTYPE), res[1]
+        except ValueError:
+            raise
+        except Exception:
+            pass
         p0 = self.coords[self.cells[:, 0]]
         p1 = self.coords[self.cells[:, 1]]
         p2 = self.coords[self.cells[:, 2]]

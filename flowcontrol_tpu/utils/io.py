@@ -159,3 +159,53 @@ def export_field_vtk(path, space, u_nodes=None, p=None, point_data=None) -> None
             lines.append("LOOKUP_TABLE default")
             lines += [str(v) for v in np.asarray(vals)[: mesh.num_vertices]]
     path.write_text("\n".join(lines))
+
+
+def export_subdomains(path, mesh, markers) -> None:
+    """Write the boundary classification for visualization
+    (ref: io.py:171-185). Saves facet midpoints, marker ids, and names."""
+    import numpy as np
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        path,
+        facet_midpoints=mesh.facet_midpoints(),
+        facet_marker=markers.facet_marker,
+        names=np.asarray(markers.names, dtype=object),
+    )
+
+
+def export_boundary_forces(path, flowsolver, boundary_name, u, p, nu) -> None:
+    """Per-facet traction -σ·n on a named boundary (ref: io.py:188-234)."""
+    import numpy as np
+
+    from flowcontrol_tpu.fem.facets import boundary_force_rows
+
+    rows = flowsolver.markers.facets(boundary_name)
+    per_facet = []
+    up = flowsolver.merge(u, p)
+    for r in rows:
+        fr = boundary_force_rows(flowsolver.space, np.asarray([r]), nu)
+        per_facet.append(fr @ up)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        path,
+        facet_rows=rows,
+        midpoints=flowsolver.mesh.facet_midpoints()[rows],
+        normals=flowsolver.mesh.facet_normals()[rows],
+        force=np.asarray(per_facet),
+    )
+
+
+def export_stress_tensor(path, flowsolver, u, p, nu) -> None:
+    """Quadrature-point stress tensor export (ref: io.py:188-234)."""
+    import numpy as np
+
+    from flowcontrol_tpu.utils.physics import stress_tensor_field
+
+    sigma = stress_tensor_field(flowsolver, u, p, nu)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, sigma=sigma)

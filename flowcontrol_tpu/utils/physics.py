@@ -104,3 +104,20 @@ def compute_divergence(flowsolver, u_nodes: np.ndarray) -> np.ndarray:
     b = np.zeros(space.mesh.num_vertices)
     np.add.at(b, space.mesh.cells.reshape(-1), r_e.reshape(-1))
     return spla.spsolve(pressure_mass_csr(geom, space).tocsc(), b)
+
+
+def stress_tensor_field(flowsolver, u_nodes: np.ndarray, p: np.ndarray,
+                        nu: float) -> np.ndarray:
+    """σ = 2ν·sym(∇u) − p·I evaluated at cell quadrature points
+    (ref: physics.py:17-19 — the symbolic UFL stress tensor).
+
+    Returns (nc, 7, 2, 2).
+    """
+    space, geom = flowsolver.space, flowsolver.geom
+    u_cells = np.asarray(u_nodes)[space.cell_vel_nodes, :]
+    g = np.einsum("cqni,cnd->cqid", geom.dphi2, u_cells)  # ∂u_d/∂x_i
+    sym_g = 0.5 * (g + np.swapaxes(g, 2, 3))
+    p_cells = np.asarray(p)[space.mesh.cells]
+    p_q = np.einsum("qb,cb->cq", geom.phi1, p_cells)
+    eye = np.eye(2)
+    return 2.0 * nu * sym_g - p_q[:, :, None, None] * eye[None, None]
