@@ -223,28 +223,46 @@ class Stepper:
             return self._nl_hook(x)
         return nonlinear_convection_gather(dev["geom"], self.space, dev["gt_vel"], x)
 
-    def _rhs(self, dev, order, carry: StepCarry, u_ctrl, nl_n):
-        c = self._coeffs[order]
-        oi = self._order_idx[order]
+    def _rhs_from_coeffs(self, dev, c, oi_sel, carry: StepCarry, u_ctrl, nl_n):
+        """Assemble the RHS from (possibly traced) scheme coefficients.
+
+        All element applies (which contain psums under SPMD sharding) happen
+        HERE, unconditionally — collectives must never sit inside lax.cond
+        (XLA CPU aborts in AllReduceThunk under ConditionalThunk).
+        ``oi_sel(seq)`` selects the per-order lift vectors.
+        """
         rhs = c["c_mn"] * self._apply(dev, "m", carry.u_n)
-        if c["c_mnn"]:
+        if c["c_mnn"] is not None:
             rhs = rhs + c["c_mnn"] * self._apply(dev, "m", carry.u_nn)
-        if c["c_nl_n"]:
+        if c["c_nl_n"] is not None:
             rhs = rhs + c["c_nl_n"] * nl_n
-        if c["c_nl_nn"]:
+        if c["c_nl_nn"] is not None:
             rhs = rhs + c["c_nl_nn"] * carry.n_prev
-        if c["c_lvel"]:
+        if c["c_lvel"] is not None:
             rhs = rhs + c["c_lvel"] * self._apply(dev, "lvel", carry.u_n)
         if self.n_act:
             f_amp = c["c_f"] * u_ctrl + c["c_fn"] * carry.u_ctrl_prev
             rhs = rhs + f_amp @ dev["f_cols"]
-            rhs = rhs - u_ctrl @ dev["lift_act"][oi]
-        rhs = rhs - dev["lift_static"][oi]
+            rhs = rhs - u_ctrl @ oi_sel(dev["lift_act"])
+        rhs = rhs - oi_sel(dev["lift_static"])
         g = dev["bc_values"]
         if self.n_act:
             g = g + u_ctrl @ dev["bc_profiles"]
         g = jnp.broadcast_to(g, rhs.shape[:-1] + g.shape[-1:])
         return rhs.at[..., self._bc_dofs].set(g)
+
+    def _static_coeffs(self, order):
+        c = self._coeffs[order]
+        return {k: (v if v else None) for k, v in c.items()} | {
+            "c_f": c["c_f"], "c_fn": c["c_fn"]
+        }
+
+    def _rhs(self, dev, order, carry: StepCarry, u_ctrl, nl_n):
+        oi = self._order_idx[order]
+        return self._rhs_from_coeffs(
+            dev, self._static_coeffs(order), lambda seq: seq[oi], carry,
+            u_ctrl, nl_n,
+        )
 
     def _dense_solve_once(self, dev, oi, rhs):
         if self._solver_kinds[oi] == "lapack":
@@ -312,11 +330,32 @@ class Stepper:
             elif self.start_order == 2:
                 x, nl_n = self._step_order(dev, 2, carry, u_ctrl)
             else:
-                x, nl_n = jax.lax.cond(
-                    carry.it == 0,
-                    lambda c: self._step_order(dev, 1, c, u_ctrl),
-                    lambda c: self._step_order(dev, 2, c, u_ctrl),
-                    carry,
+                # BDF1 on the very first step, BDF2 afterwards. The RHS is
+                # built ONCE with where-selected coefficients so that the
+                # element applies (psums under sharding) stay OUTSIDE any
+                # conditional; only the (collective-free) solve is branched.
+                is1 = carry.it == 0
+                c1 = self._coeffs[1]
+                c2 = self._coeffs[2]
+                sel = lambda a, b: jnp.where(is1, a, b)
+                c = {
+                    "c_mn": sel(c1["c_mn"], c2["c_mn"]),
+                    "c_mnn": sel(c1["c_mnn"], c2["c_mnn"]),
+                    "c_nl_n": sel(c1["c_nl_n"], c2["c_nl_n"]),
+                    "c_nl_nn": sel(c1["c_nl_nn"], c2["c_nl_nn"]),
+                    "c_lvel": None,
+                    "c_f": sel(c1["c_f"], c2["c_f"]),
+                    "c_fn": sel(c1["c_fn"], c2["c_fn"]),
+                }
+                i1, i2 = self._order_idx[1], self._order_idx[2]
+                oi_sel = lambda seq: jnp.where(is1, seq[i1], seq[i2])
+                nl_n = self._nl(dev, carry.u_n)
+                rhs = self._rhs_from_coeffs(dev, c, oi_sel, carry, u_ctrl, nl_n)
+                x = jax.lax.cond(
+                    is1,
+                    lambda r: self._solve(dev, 1, r, x_guess=carry.u_n),
+                    lambda r: self._solve(dev, 2, r, x_guess=carry.u_n),
+                    rhs,
                 )
             y = x @ dev["c"].T
             de = 0.5 * jnp.einsum("...i,...i->...", x, self._apply(dev, "m", x))
