@@ -17,7 +17,13 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # the axon site hook overrides the env var; force it back
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.sharding import Mesh
 

@@ -197,3 +197,43 @@ def dense_to_sparse(mat, eliminate_zeros: bool = True):
 def sparse_to_coo_triplets(mat):
     coo = mat.tocoo()
     return np.stack([coo.row, coo.col], axis=1), coo.data
+
+
+def get_frequency_response_sharded(a_dense, b, c, q_dense, ww,
+                                   dtype=np.complex64, axis="omega"):
+    """Device-sharded frequency sweep: ω split across a jax.sharding.Mesh.
+
+    The TPU-native counterpart of the reference's MPI/MUMPS-distributed sweep
+    (ref: linalg.py:272-328): each device solves its ω shard's dense complex
+    systems; no communication is needed (embarrassingly parallel).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs), (axis,))
+    ww = np.atleast_1d(np.asarray(ww, dtype=np.float64))
+    n_pad = (-len(ww)) % len(devs)
+    ww_p = np.concatenate([ww, np.full(n_pad, ww[-1])])
+
+    a = jnp.asarray(a_dense, dtype=dtype)
+    q = jnp.asarray(q_dense, dtype=dtype)
+    b_ = jnp.asarray(np.atleast_2d(b), dtype=dtype)
+    if b_.shape[0] != a.shape[0]:
+        b_ = b_.T
+    c_ = jnp.asarray(np.atleast_2d(c), dtype=dtype)
+
+    def solve_shard(w_shard):
+        def one(w):
+            x = jnp.linalg.solve((1j * w) * q - a, b_)
+            return c_ @ x
+
+        return jax.lax.map(one, w_shard.astype(dtype))
+
+    fn = jax.shard_map(
+        solve_shard, mesh=mesh, in_specs=P(axis), out_specs=P(axis)
+    )
+    ww_dev = jax.device_put(jnp.asarray(ww_p), NamedSharding(mesh, P(axis)))
+    h = np.asarray(fn(ww_dev)).astype(np.complex128)
+    return h[: len(ww)]

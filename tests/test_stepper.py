@@ -178,28 +178,27 @@ def test_divergence_detection(lid_base, tmp_path):
     assert out is None
 
 
-def test_sharded_step_matches_unsharded(lid_base, tmp_path):
-    """Element-sharded SPMD step == single-device step (8 CPU devices)."""
-    from jax.sharding import Mesh
-    from flowcontrol_tpu.parallel.sharding import shard_stepper
+def test_sharded_step_matches_unsharded():
+    """Element-sharded SPMD step == single-device step (8 CPU devices).
 
-    n_dev = len(jax.devices())
-    if n_dev < 2:
-        pytest.skip("needs multiple devices")
-    fs1 = make_fs(tmp_path / "u", backend="dense_lu")
-    fs1._assign_steady_state(*lid_base)
-    fs1.initialize_time_stepping()
-    _, x_ref = run_steps(make_fs(tmp_path / "r", backend="dense_lu"), lid_base, n=3)
+    Runs in a SUBPROCESS: XLA CPU's AllReduce thunk intermittently aborts
+    when collectives execute in a long-lived process alongside many other
+    compiled programs — the same isolation strategy as the reference's
+    mpirun smoke test (ref: tests/integration/test_mpi_poisson.py:14-44).
+    """
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
 
-    fs2 = make_fs(tmp_path / "s", backend="dense_lu")
-    fs2._assign_steady_state(*lid_base)
-    fs2.initialize_time_stepping()
-    st = fs2.stepper
-    mesh = Mesh(np.array(jax.devices()), ("space",))
-    shard_stepper(st, mesh, axis="space")
-    step = jax.jit(st.step_fn())
-    carry = st.init_carry(fs2._carry.u_n)
-    with mesh:
-        for _ in range(3):
-            carry, out = step(st._dev, carry, jnp.zeros(1))
-    assert np.allclose(np.asarray(carry.u_n), x_ref, atol=1e-9)
+    repo = Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(repo)
+    res = subprocess.run(
+        [sys.executable, str(repo / "examples" / "demo_sharded.py")],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+    assert "sharded demo OK" in res.stdout
