@@ -62,7 +62,9 @@ from flowcontrol_tpu.utils.physics import get_div0_u_callable
 logger = logging.getLogger(__name__)
 
 #: dense-LU device factorization is used below this many dofs ('auto' backend)
-DENSE_LU_MAX_DOFS = 40_000
+#: (two scheme factors + dense operators must fit HBM; above this, the
+#: matrix-free Krylov backend takes over)
+DENSE_LU_MAX_DOFS = 20_000
 
 
 class FlowSolver(ABC):
@@ -547,7 +549,14 @@ class FlowSolver(ABC):
         b = self.params_solver.solver_backend
         if b != "auto":
             return b
-        return "dense_lu" if self.space.n_dofs <= DENSE_LU_MAX_DOFS else "host_lu"
+        if self.space.n_dofs <= DENSE_LU_MAX_DOFS:
+            return "dense_lu"
+        # large problems: matrix-free Krylov on accelerators (host callbacks
+        # are unsupported there); host sparse LU on CPU
+        import jax
+
+        platform = jax.devices()[0].platform
+        return "gmres" if platform in ("tpu", "axon", "gpu") else "host_lu"
 
     def _resolve_dtype(self):
         p = self.params_solver.precision

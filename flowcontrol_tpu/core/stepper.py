@@ -78,6 +78,7 @@ class Stepper:
     gmres_iters: int = 30
     gmres_restarts: int = 2
     refine_steps: int | None = None  # dense-path iterative refinement (None=auto)
+    dense_operators: bool | None = None  # mass/lvel applies as dense matmuls
     block_lu_bs: int = 1024
     #: above this size, XLA's LU custom call exhausts VMEM on v5e — use our
     #: matmul-blocked LU instead (solvers/block_lu.py)
@@ -192,6 +193,29 @@ class Stepper:
             )
         else:
             dev["lvel_e"] = None
+        # dense-matmul operator application: on gather-hostile accelerators a
+        # dense n×n matmul at HBM speed beats the indexed element apply
+        if self.dense_operators is None:
+            self.dense_operators = self.backend == "dense_lu" and n <= 20_000
+        dev["m_dense"] = None
+        dev["lvel_dense"] = None
+        if self.dense_operators:
+            dev["m_dense"] = jnp.asarray(
+                np.asarray(
+                    to_scipy_csr(forms.mass_elements(), space.cell_dofs, n).todense()
+                ),
+                dtype=dt,
+            )
+            if dev["lvel_e"] is not None:
+                dev["lvel_dense"] = jnp.asarray(
+                    np.asarray(
+                        to_scipy_csr(
+                            forms.velocity_operator_elements(u0, include_shift=False),
+                            space.cell_dofs, n,
+                        ).todense()
+                    ),
+                    dtype=dt,
+                )
         dev["c"] = jnp.asarray(self.c_rows, dtype=dt)
         dev["f_cols"] = jnp.asarray(self.force_cols, dtype=dt)
         dev["bc_values"] = jnp.asarray(bcs.values, dtype=dt)
@@ -211,6 +235,9 @@ class Stepper:
     def _apply(self, dev, key, x):
         if self._apply_hook is not None:
             return self._apply_hook(key, x)
+        dense = dev["m_dense"] if key == "m" else dev["lvel_dense"]
+        if dense is not None:
+            return x @ dense.T
         a_e = dev["m_e"] if key == "m" else dev["lvel_e"]
         return apply_element_tensors_gather(
             a_e, self._cell_dofs, dev["gt_mixed"], x, self.space.n_dofs
