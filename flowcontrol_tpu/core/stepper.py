@@ -79,6 +79,7 @@ class Stepper:
     gmres_restarts: int = 2
     refine_steps: int | None = None  # dense-path iterative refinement (None=auto)
     dense_operators: bool | None = None  # mass/lvel applies as dense matmuls
+    trisolve: str = "xla"  # 'xla' (blocked matmuls) | 'pallas' (fused kernel)
     block_lu_bs: int = 1024
     #: above this size, XLA's LU custom call exhausts VMEM on v5e — use our
     #: matmul-blocked LU instead (solvers/block_lu.py)
@@ -294,6 +295,13 @@ class Stepper:
     def _dense_solve_once(self, dev, oi, rhs):
         if self._solver_kinds[oi] == "lapack":
             return dense_lu_solve(dev["solvers"][oi], rhs)
+        if self.trisolve == "pallas":
+            from flowcontrol_tpu.ops.pallas_trisolve import pallas_block_lu_solve
+
+            return pallas_block_lu_solve(
+                dev["solvers"][oi], rhs, bs=self.block_lu_bs,
+                n=self.space.n_dofs,
+            )
         from flowcontrol_tpu.solvers.block_lu import block_lu_solve
 
         return block_lu_solve(
@@ -446,6 +454,18 @@ class Stepper:
         dev = self._dev
         return jax.lax.scan(lambda c, u: step(dev, c, u), carry, u_seq)
 
+    def _wrap_exec_device(self, fn):
+        """Pin execution to CPU for the host_lu (pure_callback) backend."""
+        dev = self._exec_device()
+        if dev is None:
+            return fn
+
+        def wrapped(*args, **kwargs):
+            with jax.default_device(dev):
+                return fn(*args, **kwargs)
+
+        return wrapped
+
     def make_rollout_open_loop(self):
         """jitted (dev-as-arg) open-loop rollout fn: (carry, u_seq) -> (carry, outs)."""
         step = self.step_fn()
@@ -454,7 +474,7 @@ class Stepper:
         def roll(dev, carry, u_seq):
             return jax.lax.scan(lambda c, u: step(dev, c, u), carry, u_seq)
 
-        return partial(roll, self._dev)
+        return self._wrap_exec_device(partial(roll, self._dev))
 
     def rollout_closed_loop(self, carry: StepCarry, k_mats, y0, num_steps: int,
                             feedback_sign: float = -1.0):
@@ -496,4 +516,6 @@ class Stepper:
             )
             return c, outs
 
-        return partial(jax.jit(roll, static_argnums=()), self._dev)
+        return self._wrap_exec_device(
+            partial(jax.jit(roll, static_argnums=()), self._dev)
+        )
