@@ -105,6 +105,7 @@ def bench_tpu(fs) -> dict:
     fs._prepare_systems()
     fs.first_step = False
     st = fs._stepper
+    st.trisolve = os.environ.get("BENCH_TRISOLVE", "xla")
     carry = fs._carry
     roll = st.make_rollout_open_loop()
 
