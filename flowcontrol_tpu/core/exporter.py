@@ -140,6 +140,23 @@ class FlowExporter:
         self.paths.metadata.parent.mkdir(parents=True, exist_ok=True)
         self.paths.metadata.write_text(json.dumps(meta, indent=2))
 
+    def write_paraview_index(self) -> None:
+        """Emit Paraview-readable .xdmf temporal indexes next to the U/P
+        snapshot files (ref: dolfin XDMFFile does this implicitly;
+        see mesh/io.write_xdmf_timeseries_index)."""
+        from flowcontrol_tpu.mesh.io import write_xdmf_timeseries_index
+
+        mesh = self.space.mesh
+        for path, name in (
+            (self.paths.U_restart, "U"),
+            (self.paths.P_restart, "P"),
+        ):
+            f = self._file(path)
+            if f.n_checkpoints(name):
+                f.close()
+                del self._files[str(path)]
+                write_xdmf_timeseries_index(f.path, mesh, name)
+
     def write_timeseries(self) -> None:
         self.paths.timeseries.parent.mkdir(parents=True, exist_ok=True)
         self.to_dataframe().to_csv(self.paths.timeseries, sep=",", index=False)

@@ -657,6 +657,7 @@ class FlowSolver(ABC):
             _restart_order = "cn" if self.params_solver.time_scheme == "cn" else 2
             self.exporter.write_metadata(restart_order=_restart_order)
             self.exporter.write_timeseries()
+            self.exporter.write_paraview_index()
         return self.y_meas
 
     def write_timeseries(self) -> None:

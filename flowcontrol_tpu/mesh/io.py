@@ -124,6 +124,72 @@ class FieldCheckpointFile:
         self.close()
 
 
+def write_xdmf_timeseries_index(h5_path, mesh: Mesh2D, name: str, out_path=None):
+    """Emit a Paraview-readable XDMF temporal-collection index for a
+    :class:`FieldCheckpointFile` (ref: src/utils/io.py:21-50 — the reference's
+    dolfin XDMFFile writes this index automatically; here it is explicit).
+
+    Visualization strategy: linear triangles + vertex-sliced data. Velocity
+    is P2 (vertices then edge midpoints, dofmap.py layout), so the vertex
+    values are simply the first ``n_vertices`` rows; pressure P1 is exact on
+    vertices. Vector data is zero-padded to 3 components (XDMF readers
+    expect 3D vectors). Padded per-snapshot vertex datasets are written into
+    the same HDF5 file under ``/viz/<name>/<counter>`` (small: vertex-only).
+
+    Returns the path of the written ``.xdmf`` file.
+    """
+    import h5py
+
+    h5_path = Path(h5_path)
+    out_path = Path(out_path) if out_path else h5_path.with_suffix(".xdmf")
+    nv, nc = mesh.num_vertices, mesh.num_cells
+
+    with h5py.File(h5_path, "a") as f:
+        if "viz_mesh/geometry" not in f:
+            f.create_dataset("viz_mesh/geometry", data=mesh.coords)
+            f.create_dataset("viz_mesh/topology", data=mesh.cells.astype(np.int64))
+        times = np.asarray(f.attrs.get(f"{name}_times", []))
+        grp = f[name]
+        counters = sorted(int(k) for k in grp.keys())
+        is_vector = grp[str(counters[0])].ndim == 2 if counters else False
+        viz = f.require_group(f"viz/{name}")
+        for k in counters:
+            key = str(k)
+            if key in viz:
+                continue
+            data = np.asarray(grp[key])[:nv]
+            if is_vector:
+                data = np.pad(data, ((0, 0), (0, 3 - data.shape[1])))
+            viz.create_dataset(key, data=data)
+
+    mesh_xml = (
+        f'<Topology NumberOfElements="{nc}" TopologyType="Triangle" '
+        f'NodesPerElement="3"><DataItem Dimensions="{nc} 3" NumberType="Int" '
+        f'Format="HDF">{h5_path.name}:/viz_mesh/topology</DataItem></Topology>'
+        f'<Geometry GeometryType="XY"><DataItem Dimensions="{nv} 2" '
+        f'Format="HDF">{h5_path.name}:/viz_mesh/geometry</DataItem></Geometry>'
+    )
+    attr_type = "Vector" if is_vector else "Scalar"
+    dims = f"{nv} 3" if is_vector else f"{nv}"
+    grids = []
+    for k in counters:
+        t = float(times[k]) if k < len(times) and np.isfinite(times[k]) else float(k)
+        grids.append(
+            f'<Grid Name="{name}_{k}" GridType="Uniform">'
+            f'<Time Value="{t!r}"/>{mesh_xml}'
+            f'<Attribute Name="{name}" AttributeType="{attr_type}" Center="Node">'
+            f'<DataItem Dimensions="{dims}" Format="HDF">'
+            f"{h5_path.name}:/viz/{name}/{k}</DataItem></Attribute></Grid>"
+        )
+    xml = (
+        '<?xml version="1.0"?><Xdmf Version="3.0"><Domain>'
+        f'<Grid Name="{name}_series" GridType="Collection" '
+        f'CollectionType="Temporal">{"".join(grids)}</Grid></Domain></Xdmf>'
+    )
+    out_path.write_text(xml)
+    return out_path
+
+
 def write_field_snapshot(path, name, data, time, counter=None, append=True):
     """One-shot convenience wrapper (ref: utils.io.write_xdmf)."""
     mode = "a" if append else "w"

@@ -77,3 +77,27 @@ def test_cavity_regression(coarse_cavity_mesh, cavity_base, tmp_path, regression
     assert np.isclose(y[0], vals["y1"], rtol=1e-6)
     assert np.isclose(y[1], vals["y2"], rtol=1e-6)
     assert np.isclose(fs.compute_perturbation_energy(), vals["dE"], rtol=1e-6)
+
+
+def test_cavity_gmres_backend(coarse_cavity_mesh, cavity_base, tmp_path):
+    """SURVEY hard-part #1: the iterative saddle-point solver must hold up at
+    the stiff cavity configuration (Re=7500, dt=4e-4). 5 steps of the
+    SIMPLE-preconditioned GMRES backend vs the direct host solve."""
+    u0, p0 = cavity_base
+
+    def run(backend):
+        fs = CavityFlowSolver.make_default(
+            Re=7500, num_steps=5, verbose=0, mesh=coarse_cavity_mesh,
+            path_out=tmp_path / backend, solver_backend=backend,
+            precision="f64",
+        )
+        fs._assign_steady_state(u0, p0)
+        fs.initialize_time_stepping()
+        for _ in range(5):
+            y = fs.step(np.zeros(1))
+        return np.asarray(fs.fields.up_, dtype=float)
+
+    x_ref = run("host_lu")
+    x_gmres = run("gmres")
+    rel = np.linalg.norm(x_gmres - x_ref) / np.linalg.norm(x_ref)
+    assert rel < 1e-5, rel

@@ -74,3 +74,19 @@ def test_lidcavity_regression(lid_base, tmp_path, regression_values):
     assert np.isclose(fs.compute_perturbation_energy(), vals["dE"], rtol=1e-6)
     u_full = fs.fields.u_n + fs.fields.U0
     assert np.isclose(np.abs(u_full).max(), vals["U_max"], rtol=1e-6)
+
+
+def test_lidcavity_ghia_centerline(lid_base):
+    """Centerline u_x minimum vs Ghia et al. (1982) at Re=1000 (-0.3829)."""
+    import numpy as np
+
+    from flowcontrol_tpu.mesh.dofmap import TaylorHoodSpace
+    from flowcontrol_tpu.mesh.generation import lidcavity_mesh
+
+    u0, _ = lid_base
+    mesh = lidcavity_mesh(32)
+    space = TaylorHoodSpace.build(mesh)
+    xs = space.vel_node_coords
+    sel = np.abs(xs[:, 0] - 0.5) < 1e-9
+    u_min = u0[sel, 0].min()
+    assert -0.45 < u_min < -0.30  # Ghia: -0.3829 (129x129); 32x32 tolerance

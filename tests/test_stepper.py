@@ -179,12 +179,17 @@ def test_divergence_detection(lid_base, tmp_path):
 
 
 def test_sharded_step_matches_unsharded():
-    """Element-sharded SPMD step == single-device step (8 CPU devices).
+    """Element-sharded SPMD step == single-device step (4 CPU devices).
 
     Runs in a SUBPROCESS: XLA CPU's AllReduce thunk intermittently aborts
     when collectives execute in a long-lived process alongside many other
     compiled programs — the same isolation strategy as the reference's
     mpirun smoke test (ref: tests/integration/test_mpi_poisson.py:14-44).
+
+    4 devices (not 8) and a retry loop: XLA CPU's in-process collective
+    rendezvous has a hardcoded 40s termination timeout, and on a
+    single-core machine 8 partition threads competing for 1 core can
+    starve past it — an environment limitation, not a sharding bug.
     """
     import os
     import subprocess
@@ -193,12 +198,17 @@ def test_sharded_step_matches_unsharded():
 
     repo = Path(__file__).resolve().parents[1]
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = str(repo)
-    res = subprocess.run(
-        [sys.executable, str(repo / "examples" / "demo_sharded.py")],
-        env=env, capture_output=True, text=True, timeout=600,
-    )
+    for attempt in range(3):
+        res = subprocess.run(
+            [sys.executable, str(repo / "examples" / "demo_sharded.py")],
+            env=env, capture_output=True, text=True, timeout=600,
+        )
+        if res.returncode == 0:
+            break
+        if "rendezvous" not in (res.stdout + res.stderr).lower():
+            break  # real failure: don't mask it with retries
     assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
     assert "sharded demo OK" in res.stdout
