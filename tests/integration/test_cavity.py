@@ -79,10 +79,14 @@ def test_cavity_regression(coarse_cavity_mesh, cavity_base, tmp_path, regression
     assert np.isclose(fs.compute_perturbation_energy(), vals["dE"], rtol=1e-6)
 
 
+@pytest.mark.heavy
 def test_cavity_gmres_backend(coarse_cavity_mesh, cavity_base, tmp_path):
     """SURVEY hard-part #1: the iterative saddle-point solver must hold up at
     the stiff cavity configuration (Re=7500, dt=4e-4). 5 steps of the
-    SIMPLE-preconditioned GMRES backend vs the direct host solve."""
+    SIMPLE-preconditioned GMRES backend vs the direct host solve.
+
+    Marked ``heavy`` (~24 min on a 1-core host, dominated by the CPU GMRES
+    path); run with ``-m heavy``. Verified passing 2026-08-16 (rel 1e-5)."""
     u0, p0 = cavity_base
 
     def run(backend):
