@@ -52,9 +52,22 @@ def main():
     devs = jax.devices()
     mesh = Mesh(np.array(devs), ("space",))
     shard_stepper(st, mesh, axis="space")
-    step_sh = jax.jit(st.step_fn())
     carry = st.init_carry(fs._carry.u_n)
+    # raise XLA CPU's in-process collective rendezvous timeouts (default
+    # 40s aborts the process): with more partitions than physical cores the
+    # partition threads time-share and can legitimately exceed it
+    copts = None
+    if devs[0].platform == "cpu":
+        copts = {
+            "xla_cpu_collective_call_warn_stuck_seconds": 120,
+            "xla_cpu_collective_call_terminate_timeout_seconds": 1200,
+        }
     with mesh:
+        step_sh = (
+            jax.jit(st.step_fn())
+            .lower(st._dev, carry, jnp.zeros(1))
+            .compile(compiler_options=copts)
+        )
         for _ in range(3):
             carry, out = step_sh(st._dev, carry, jnp.zeros(1))
     sh = np.asarray(carry.u_n)
