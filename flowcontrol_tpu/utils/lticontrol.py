@@ -333,54 +333,115 @@ def h2syn(p: StateSpace, ny: int, nu: int) -> StateSpace:
 
 def hinfsyn(p: StateSpace, ny: int, nu: int, gamma_range=(1e-3, 1e4),
             tol: float = 1e-3, max_iter: int = 80):
-    """Suboptimal H∞ central controller by gamma bisection (DGKF 1989).
+    """Suboptimal H∞ central controller by gamma bisection.
 
-    Assumptions: D11 = 0 (absorb feedthrough into strictly-proper weights),
-    D12 full column rank, D21 full row rank. Returns (K, gamma_achieved).
+    General D11 is handled via the Glover-Doyle formulas (Zhou, Doyle,
+    Glover, "Robust and Optimal Control", ch. 17): D12/D21 are first
+    normalized to [0; I] / [0 I] by SVD (unitary rotations of z/w plus
+    invertible u/y scalings absorbed back into the controller), then the two
+    gamma-dependent Riccati equations with D11 cross terms give the central
+    controller. Requires D12 full column rank, D21 full row rank,
+    nz >= nu, nw >= ny. Returns (K, gamma_achieved).
+    (ref: lticontrol.py:336-378 delegates this to python-control/slycot.)
     """
     a, b1, b2, c1, c2, d11, d12, d21, d22, nz, nw = _dgkf_partition(p, ny, nu)
-    if np.abs(d11).max() > 1e-9:
-        raise NotImplementedError(
-            "hinfsyn: D11 != 0 — use strictly proper performance weights"
-        )
-    r1 = d12.T @ d12
-    r2 = d21 @ d21.T
+    n = a.shape[0]
+    if nz < nu or nw < ny:
+        raise ValueError("hinfsyn: need nz >= nu and nw >= ny")
+
+    # ── Normalize D12 -> [0; I] (nz x nu) and D21 -> [0 I] (ny x nw) ────────
+    u12, s12, v12t = np.linalg.svd(d12)  # full: u12 (nz,nz), v12t (nu,nu)
+    if nu and (s12.size < nu or s12[nu - 1] <= 1e-12 * max(1.0, s12[0])):
+        raise ValueError("hinfsyn: D12 must have full column rank")
+    uz = u12[:, np.r_[nu:nz, 0:nu]]          # z' = uz.T z  (range of D12 last)
+    su = v12t.T @ np.diag(1.0 / s12)         # u = su u'
+    u21, s21, v21t = np.linalg.svd(d21)      # u21 (ny,ny), v21t (nw,nw)
+    if ny and (s21.size < ny or s21[ny - 1] <= 1e-12 * max(1.0, s21[0])):
+        raise ValueError("hinfsyn: D21 must have full row rank")
+    vw = v21t.T[:, np.r_[ny:nw, 0:ny]]       # w = vw w'  (range part last)
+    sy = np.diag(1.0 / s21) @ u21.T          # y' = sy y
+
+    c1n = uz.T @ c1
+    b1n = b1 @ vw
+    b2n = b2 @ su
+    c2n = sy @ c2
+    d11n = uz.T @ d11 @ vw
+    d12n = uz.T @ d12 @ su                    # = [0; I]
+    d21n = sy @ d21 @ vw                      # = [0 I]
+
+    # D11 partitions conformal with the normalized D12/D21 structure
+    nzr, nwr = nz - nu, nw - ny               # "full-rank-free" block sizes
+    d1111 = d11n[:nzr, :nwr]
+    d1112 = d11n[:nzr, nwr:]
+    d1121 = d11n[nzr:, :nwr]
+    d1122 = d11n[nzr:, nwr:]
+
+    def _smax(m):
+        return float(np.linalg.svd(m, compute_uv=False)[0]) if m.size else 0.0
+
+    gamma0 = max(
+        _smax(np.hstack([d1111, d1112])), _smax(np.vstack([d1111, d1121]))
+    )
+
+    bmat = np.hstack([b1n, b2n])
+    cmat = np.vstack([c1n, c2n])
+    d1dot = np.hstack([d11n, d12n])           # nz x (nw+nu)
+    ddot1 = np.vstack([d11n, d21n])           # (nz+ny) x nw
 
     def try_gamma(gam):
         g2 = gam**2
-        n = a.shape[0]
+        if gam <= gamma0 * (1 + 1e-12):
+            return None
         try:
-            # X Riccati with the indefinite (-γ²I ⊕ R1) weight and cross term
-            rx = sla.block_diag(-g2 * np.eye(nw), r1)
-            bx = np.hstack([b1, b2])
-            sx = np.hstack([np.zeros((n, nw)), c1.T @ d12])
-            x = sla.solve_continuous_are(a, bx, c1.T @ c1, rx, s=sx)
-            fx = -np.linalg.solve(rx, bx.T @ x + sx.T)
-            f2 = fx[nw:, :]
+            # X Riccati: A'X+XA+C1'C1 - (XB+C1'D1.)R^{-1}(B'X+D1.'C1) = 0
+            r = d1dot.T @ d1dot - sla.block_diag(
+                g2 * np.eye(nw), np.zeros((nu, nu))
+            )
+            s = c1n.T @ d1dot
+            x = sla.solve_continuous_are(a, bmat, c1n.T @ c1n, r, s=s)
+            f = -np.linalg.solve(r, d1dot.T @ c1n + bmat.T @ x)
             # Y Riccati (dual)
-            ry = sla.block_diag(-g2 * np.eye(nz), r2)
-            cy = np.vstack([c1, c2])
-            sy = np.hstack([np.zeros((n, nz)), b1 @ d21.T])
-            y = sla.solve_continuous_are(a.T, cy.T, b1 @ b1.T, ry, s=sy)
-            ly = -np.linalg.solve(ry, cy @ y + sy.T).T
-            l2 = ly[:, nz:]
+            rt = ddot1 @ ddot1.T - sla.block_diag(
+                g2 * np.eye(nz), np.zeros((ny, ny))
+            )
+            st = b1n @ ddot1.T
+            y = sla.solve_continuous_are(a.T, cmat.T, b1n @ b1n.T, rt, s=st)
+            lmat = -np.linalg.solve(rt, cmat @ y + st.T).T
             if np.any(np.linalg.eigvalsh((x + x.T) / 2) < -1e-8):
                 return None
             if np.any(np.linalg.eigvalsh((y + y.T) / 2) < -1e-8):
                 return None
-            rho = max(np.abs(np.linalg.eigvals(x @ y)))
+            rho = max(np.abs(np.linalg.eigvals(x @ y)), default=0.0)
             if rho >= g2 * (1 - 1e-9):
                 return None
-            # central controller
-            z = np.linalg.inv(np.eye(n) - y @ x / g2)
-            zl2 = z @ l2
-            ak = (
-                a
-                + (b1 @ b1.T @ x) / g2
-                + b2 @ f2
-                + zl2 @ (c2 + (d21 @ b1.T @ x) / g2)
+            # scipy's ARE with indefinite R can return a non-stabilizing
+            # solution; require X, Y to actually be stabilizing
+            if n and np.any(np.real(np.linalg.eigvals(a + bmat @ f)) >= -1e-10):
+                return None
+            if n and np.any(np.real(np.linalg.eigvals(a + lmat @ cmat)) >= -1e-10):
+                return None
+            f1, f2 = f[:nw, :], f[nw:, :]
+            f12 = f1[nwr:, :]                 # last ny rows of F1
+            l2 = lmat[:, nz:]
+            l12 = lmat[:, nzr:nz]             # last nu cols of L1
+            # central-controller feedthrough terms (ZDG thm 17.1)
+            m1 = g2 * np.eye(nzr) - d1111 @ d1111.T
+            m2 = g2 * np.eye(nwr) - d1111.T @ d1111
+            d11h = -d1121 @ d1111.T @ np.linalg.solve(m1, d1112) - d1122
+            d12h = np.linalg.cholesky(
+                np.eye(nu) - d1121 @ np.linalg.solve(m2, d1121.T)
             )
-            k = StateSpace(ak, -zl2, f2, np.zeros((nu, ny)))
+            d21h = np.linalg.cholesky(
+                np.eye(ny) - d1112.T @ np.linalg.solve(m1, d1112)
+            ).T
+            z = np.linalg.inv(np.eye(n) - y @ x / g2)
+            b2h = z @ (b2n + l12) @ d12h
+            c2h = -d21h @ (c2n + f12)
+            b1h = -z @ l2 + b2h @ np.linalg.solve(d12h, d11h)
+            c1h = f2 + d11h @ np.linalg.solve(d21h, c2h)
+            ah = a + bmat @ f + b1h @ np.linalg.solve(d21h, c2h)
+            # back to original u/y coordinates: K = su K' sy
+            k = StateSpace(ah, b1h @ sy, su @ c1h, su @ d11h @ sy)
             if np.abs(d22).max() > 0:
                 # absorb plant feedthrough: K <- K (I + D22 K)^{-1}
                 d22sys = StateSpace(
@@ -390,11 +451,16 @@ def hinfsyn(p: StateSpace, ny: int, nu: int, gamma_range=(1e-3, 1e4),
             cl = lft(p, k, ny=ny, nu=nu)
             if not isstable(cl):
                 return None
+            # belt-and-braces: the achieved closed-loop norm must beat gamma
+            # (guards residual numerical issues in the indefinite AREs)
+            if norm(cl, np.inf) >= gam * (1 + 1e-9):
+                return None
             return k
         except (np.linalg.LinAlgError, ValueError):
             return None
 
     lo, hi = gamma_range
+    lo = max(lo, gamma0)
     k_hi = try_gamma(hi)
     if k_hi is None:
         raise RuntimeError("hinfsyn: no stabilizing controller found at gamma_max")

@@ -382,3 +382,68 @@ def test_export_controller(tmp_path):
     ltc.export_controller(tmp_path / "k.mat", k)
     d = ltc.read_matfile(tmp_path / "k.mat")
     assert "mag" in d and "A" in d
+
+
+def test_hinfsyn_d11_static_parrott():
+    """With B1=0, C1=0 the optimal gamma equals the Parrott lower bound
+    max(sigma([D1111 D1112]), sigma([D1111; D1121]))."""
+    A = np.array([[-1.0]])
+    B = np.array([[0.0, 0.0, 1.0]])
+    C = np.array([[0.0], [0.0], [1.0]])
+    D11 = np.array([[0.3, 0.5], [0.2, 0.8]])
+    D = np.block([[D11, np.array([[0.0], [1.0]])],
+                  [np.array([[0.0, 1.0]]), np.zeros((1, 1))]])
+    p = StateSpace(A, B, C, D)
+    k, gam = ltc.hinfsyn(p, ny=1, nu=1, tol=1e-6)
+    g0 = max(np.linalg.svd(D11[:1, :])[1][0], np.linalg.svd(D11[:, :1])[1][0])
+    assert abs(gam - g0) < 1e-4
+    cl = ltc.lft(p, k, ny=1, nu=1)
+    assert ltc.isstable(cl)
+    assert ltc.norm(cl, np.inf) <= gam * (1 + 1e-6)
+
+
+def test_hinfsyn_d11_random_plants():
+    """General D11 != 0: closed loop stable with ||Tzw||inf <= gamma, tight."""
+    rng = np.random.default_rng(42)
+    for _ in range(4):
+        n, nw, nu, nz, ny = 4, 2, 1, 2, 1
+        A = rng.standard_normal((n, n))
+        A -= (max(np.real(np.linalg.eigvals(A)).max(), 0) + 0.5) * np.eye(n)
+        B1 = rng.standard_normal((n, nw))
+        B2 = rng.standard_normal((n, nu))
+        C1 = rng.standard_normal((nz, n))
+        C2 = rng.standard_normal((ny, n))
+        D11 = 0.4 * rng.standard_normal((nz, nw))
+        D12 = np.vstack([0.3 * rng.standard_normal((nz - nu, nu)),
+                         np.eye(nu) + 0.2 * rng.standard_normal((nu, nu))])
+        D21 = np.hstack([0.3 * rng.standard_normal((ny, nw - ny)),
+                         np.eye(ny) + 0.2 * rng.standard_normal((ny, ny))])
+        D22 = 0.1 * rng.standard_normal((ny, nu))
+        p = StateSpace(A, np.hstack([B1, B2]), np.vstack([C1, C2]),
+                       np.block([[D11, D12], [D21, D22]]))
+        k, gam = ltc.hinfsyn(p, ny=ny, nu=nu, tol=1e-4)
+        cl = ltc.lft(p, k, ny=ny, nu=nu)
+        nrm = ltc.norm(cl, np.inf)
+        assert ltc.isstable(cl)
+        assert nrm <= gam * 1.001
+        # the central controller is tight: achieved norm ~= gamma
+        assert nrm >= gam * 0.9
+
+
+def test_hinfsyn_d11_mimo():
+    """MIMO (nz=4, nw=3, nu=2, ny=2) with full D blocks."""
+    rng = np.random.default_rng(7)
+    n, nw, nu, nz, ny = 5, 3, 2, 4, 2
+    A = rng.standard_normal((n, n))
+    A -= (max(np.real(np.linalg.eigvals(A)).max(), 0) + 0.5) * np.eye(n)
+    p = StateSpace(
+        A, rng.standard_normal((n, nw + nu)), rng.standard_normal((nz + ny, n)),
+        np.block([
+            [0.3 * rng.standard_normal((nz, nw)), rng.standard_normal((nz, nu))],
+            [rng.standard_normal((ny, nw)), 0.1 * rng.standard_normal((ny, nu))],
+        ]),
+    )
+    k, gam = ltc.hinfsyn(p, ny=ny, nu=nu, tol=1e-4)
+    cl = ltc.lft(p, k, ny=ny, nu=nu)
+    assert ltc.isstable(cl)
+    assert ltc.norm(cl, np.inf) <= gam * 1.001
