@@ -15,7 +15,7 @@ per-step RHS assembly + back-substitution.
 
 TPU path = matmul-blocked dense LU factors resident in HBM, fused
 lax.scan rollout (f32 + one iterative-refinement step), plus a batched
-(B=128) rollout — the controller-synthesis mode of BASELINE.json
+(B=512) rollout — the controller-synthesis mode of BASELINE.json
 ("256 vmapped rollouts"): reported value is the best of single-rollout and
 aggregate batched steps/s.
 """
@@ -33,7 +33,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import numpy as np
 
 BENCH_STEPS = int(os.environ.get("BENCH_STEPS", "400"))
-BENCH_BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+BENCH_BATCH = int(os.environ.get("BENCH_BATCH", "512"))
 BENCH_BATCH_STEPS = int(os.environ.get("BENCH_BATCH_STEPS", "100"))
 CPU_STEPS = int(os.environ.get("BENCH_CPU_STEPS", "20"))
 MESH_KWARGS = dict(yinf=10.0, n1=4.5, n2=2.2, n3=0.8, segments=100)

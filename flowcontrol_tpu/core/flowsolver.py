@@ -65,6 +65,11 @@ logger = logging.getLogger(__name__)
 #: (two scheme factors + dense operators must fit HBM; above this, the
 #: matrix-free Krylov backend takes over)
 DENSE_LU_MAX_DOFS = 20_000
+# On a TPU the blocked dense-LU path scales further: factors are f32 in HBM
+# (4*n^2 bytes, ~13GB at n=57k) and iterative refinement switches to the
+# O(nnz) element-tensor matvec beyond the dense-operator regime. 57k covers
+# the reference's stock cylinder mesh O1 (56,201 mixed dofs).
+DENSE_LU_MAX_DOFS_TPU = 57_000
 
 
 class FlowSolver(ABC):
@@ -551,11 +556,15 @@ class FlowSolver(ABC):
             return b
         if self.space.n_dofs <= DENSE_LU_MAX_DOFS:
             return "dense_lu"
-        # large problems: matrix-free Krylov on accelerators (host callbacks
-        # are unsupported there); host sparse LU on CPU
         import jax
 
         platform = jax.devices()[0].platform
+        if platform in ("tpu", "axon") and self.space.n_dofs <= DENSE_LU_MAX_DOFS_TPU:
+            # HBM holds the f32 factors; refinement uses the element-tensor
+            # matvec so no second dense operand is needed
+            return "dense_lu"
+        # larger problems: matrix-free Krylov on accelerators (host callbacks
+        # are unsupported there); host sparse LU on CPU
         return "gmres" if platform in ("tpu", "axon", "gpu") else "host_lu"
 
     def _resolve_dtype(self):
@@ -586,6 +595,7 @@ class FlowSolver(ABC):
             backend=self._resolve_backend(),
             dtype=self._resolve_dtype(),
             start_order=start_order if scheme != "cn" else "cn",
+            **self.params_solver.stepper_options,
         )
         up_n = np.concatenate([self.fields.u_n.reshape(-1), self.fields.p_n])
         up_nn = np.concatenate([self.fields.u_nn.reshape(-1), self.fields.p_n])

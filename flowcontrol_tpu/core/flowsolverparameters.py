@@ -116,6 +116,9 @@ class ParamSolver(ParamFlowSolver):
     solver_backend: str = "auto"  # 'auto' | 'host_lu' | 'dense_lu' | 'gmres'
     precision: str = "auto"  # 'auto' | 'f32' | 'f64'
     pin_pressure: bool | None = None  # None = auto-detect enclosed flows
+    # extra Stepper keyword overrides (refine_steps, dense_operators,
+    # trisolve, block_lu_bs, gmres_iters, ...)
+    stepper_options: dict = field(default_factory=dict)
 
 
 @dataclass

@@ -119,6 +119,7 @@ class Stepper:
         dev["lift_static"] = []
         dev["lhs_e"] = []
         dev["a_dense"] = []
+        dev["a_bc_e"] = []
         self._solver_kinds: list = []
         self._refine = 0
         free_mask = bcs.free_mask.astype(np.float64)
@@ -133,24 +134,46 @@ class Stepper:
                 # factor ON DEVICE (MXU) in the target dtype: a dense f32 LU
                 # of the fixed time-step matrix — O(n^3) once, fast on TPU,
                 # avoids a minutes-long host LAPACK factorization
-                a_np = np.asarray(a_bc.todense())
-                a_dense = jnp.asarray(a_np, dtype=dt)
                 if n <= self.LAPACK_LU_MAX_N:
+                    a_dense = jnp.asarray(np.asarray(a_bc.todense()), dtype=dt)
                     lu, piv = jax.jit(jax.scipy.linalg.lu_factor)(a_dense)
                     self._solver_kinds.append("lapack")
                     dev["solvers"].append((lu, piv))
                 else:
                     from flowcontrol_tpu.solvers.block_lu import BlockLU
 
-                    blu = BlockLU(a_np, bs=self.block_lu_bs, dtype=dt)
+                    # sparse input: densify + factor on device (ships O(nnz))
+                    blu = BlockLU(a_bc, bs=self.block_lu_bs, dtype=dt)
                     self._solver_kinds.append("block")
                     dev["solvers"].append((blu.lu, blu.dinv))
-                # iterative refinement operand (matmul-cheap, gather-free)
+                # iterative refinement operand: a dense n x n matvec where
+                # the dense-operator regime allows it (HBM-speed, no
+                # gathers); beyond that, BC-masked element tensors keep the
+                # memory at O(nnz) so the dense-LU path scales to ~56k dofs
+                # (the reference's stock cylinder mesh O1) on one 16GB chip
                 refine = self.refine_steps
                 if refine is None:
                     refine = 1 if dt == np.float32 else 0
                 if refine:
-                    dev["a_dense"].append(a_dense)
+                    use_dense_refine = (
+                        self.dense_operators
+                        if self.dense_operators is not None
+                        else n <= 20_000
+                    )
+                    if use_dense_refine:
+                        dev["a_dense"].append(
+                            jnp.asarray(np.asarray(a_bc.todense()), dtype=dt)
+                        )
+                    else:
+                        bc_mask_e = free_mask[space.cell_dofs]
+                        dev["a_bc_e"].append(
+                            jnp.asarray(
+                                lhs_e
+                                * bc_mask_e[:, :, None]
+                                * bc_mask_e[:, None, :],
+                                dtype=dt,
+                            )
+                        )
                 self._refine = refine
             elif self.backend in ("gmres", "bicgstab"):
                 from flowcontrol_tpu.solvers.krylov import (
@@ -308,14 +331,26 @@ class Stepper:
             dev["solvers"][oi], rhs, bs=self.block_lu_bs, n=self.space.n_dofs
         )
 
+    def _lhs_matvec(self, dev, oi, x):
+        """A_bc @ x for iterative refinement: dense when the operand is
+        resident, else BC-masked element-tensor apply (A_bc has exact 1.0
+        diagonal at constrained dofs, so setting those rows to x recovers
+        the identity block)."""
+        if dev["a_dense"]:
+            return x @ dev["a_dense"][oi].T
+        y = apply_element_tensors_gather(
+            dev["a_bc_e"][oi], self._cell_dofs, dev["gt_mixed"], x,
+            self.space.n_dofs,
+        )
+        return y.at[..., self._bc_dofs].set(x[..., self._bc_dofs])
+
     def _solve(self, dev, order, rhs, x_guess=None):
         oi = self._order_idx[order]
         if self.backend == "dense_lu":
             x = self._dense_solve_once(dev, oi, rhs)
             for _ in range(self._refine):
-                # one refinement step recovers direct-solver accuracy in f32:
-                # the residual matvec is a dense MXU op (no gathers)
-                r = rhs - x @ dev["a_dense"][oi].T
+                # one refinement step recovers direct-solver accuracy in f32
+                r = rhs - self._lhs_matvec(dev, oi, x)
                 x = x + self._dense_solve_once(dev, oi, r)
             return x
         if self.backend == "gmres":
