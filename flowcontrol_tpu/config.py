@@ -22,6 +22,22 @@ import numpy as np
 # TPU kernels explicitly cast to float32 where performance matters.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: stepper/rollout programs at production
+# sizes take tens of seconds to compile; warm restarts (restarted campaigns,
+# repeated benchmarks) should pay that once per machine, not once per run.
+_CACHE_DIR = os.environ.get(
+    "FLOWCONTROL_TPU_COMPILE_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "flowcontrol_tpu", "xla"),
+)
+if _CACHE_DIR and _CACHE_DIR.lower() != "off":
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax or read-only home: cache is best-effort
+        pass
+
 #: numpy dtype used for all host-side (setup-time) arithmetic.
 HOST_DTYPE = np.float64
 

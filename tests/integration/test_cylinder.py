@@ -114,7 +114,7 @@ def test_cylinder_closed_loop_and_restart(coarse_cylinder_mesh, base_flow, tmp_p
     )
 
     def run(fs, n, k, snap_at=None):
-        ys, snap = [], None
+        ys, snap, kx = [], None, None
         y = fs.y_meas
         for i in range(n):
             u = k.step(-y[0], fs.params_time.dt)
@@ -122,14 +122,15 @@ def test_cylinder_closed_loop_and_restart(coarse_cylinder_mesh, base_flow, tmp_p
             ys.append(y)
             if snap_at is not None and i + 1 == snap_at:
                 snap = fs.fields.u_n.copy()
-        return np.array(ys), snap
+                kx = k.x.copy()
+        return np.array(ys), snap, kx
 
     # continuous 10-step run, snapshot of the in-memory state after step 5
     fs1 = make_solver(coarse_cylinder_mesh, tmp_path, num_steps=10, save_every=5)
     fs1._assign_steady_state(u0, p0)
     fs1.initialize_time_stepping()
     k.reset()
-    ys_full, u5 = run(fs1, 10, k, snap_at=5)
+    ys_full, u5, kx5 = run(fs1, 10, k, snap_at=5)
 
     # restart at T = 0.025 (checkpoint after 5 steps)
     fs2 = make_solver(
@@ -141,7 +142,9 @@ def test_cylinder_closed_loop_and_restart(coarse_cylinder_mesh, base_flow, tmp_p
     # field-level restart fidelity: the checkpoint write/read roundtrip
     # reproduces the continuous run's in-memory state at the restart time
     assert np.allclose(fs2.fields.u_n, u5, rtol=1e-10, atol=1e-12)
-    k.reset()
+    # restore the controller's internal state at the restart point so the
+    # closed loop continues exactly where the continuous run left off
+    k.x = kx5.copy()
     y = ys_full[4]
     ys_restart = []
     for _ in range(5):
@@ -149,7 +152,10 @@ def test_cylinder_closed_loop_and_restart(coarse_cylinder_mesh, base_flow, tmp_p
         y = fs2.step(np.array([u[0], u[0]]))
         ys_restart.append(y)
     ys_restart = np.array(ys_restart)
-    assert np.isfinite(ys_restart).all()
+    # trajectory continuity: the restarted run must reproduce the tail of
+    # the continuous run, not merely stay finite (ref regression pins
+    # post-restart y_meas values — test_cylinder.py:120-126)
+    assert np.allclose(ys_restart, ys_full[5:], rtol=1e-8, atol=1e-12)
 
 
 def test_cylinder_timeseries_columns_fast(coarse_cylinder_mesh, base_flow, tmp_path):

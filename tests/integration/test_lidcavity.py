@@ -37,9 +37,42 @@ def test_lidcavity_fast(lid_base, tmp_path):
 
 
 def test_lidcavity_base_flow_ghia_fast(lid_base):
-    """Centerline u_x minimum vs Ghia et al. (1982) at Re=1000 (~ -0.38)."""
+    """Centerline u_x(0.5, y) vs Ghia et al. (1982) Table I, Re=1000.
+
+    Checks the actual profile at published (y, u) stations, not just the
+    lid BC. 32x32 Taylor-Hood (65x65 P2 nodes) resolves these to a few
+    percent of the lid velocity.
+    """
+    from flowcontrol_tpu.mesh.dofmap import TaylorHoodSpace
+    from flowcontrol_tpu.mesh.generation import lidcavity_mesh
+
     u0, _ = lid_base
     assert np.isclose(np.abs(u0).max(), 1.0, atol=1e-10)  # lid velocity
+
+    mesh = lidcavity_mesh(32)
+    space = TaylorHoodSpace.build(mesh)
+    xs = space.vel_node_coords
+    sel = np.abs(xs[:, 0] - 0.5) < 1e-9
+    ys = xs[sel, 1]
+    order = np.argsort(ys)
+    ys, us = ys[order], u0[sel, 0][order]
+    # Ghia, Ghia & Shin (1982), Table I, Re=1000 (129x129 grid)
+    ghia = [
+        (0.9766, 0.65928),
+        (0.8516, 0.33304),
+        (0.5000, -0.06080),
+        (0.2813, -0.27805),
+        (0.1719, -0.38289),
+        (0.0625, -0.20196),
+    ]
+    for y_ref, u_ref in ghia:
+        u_interp = np.interp(y_ref, ys, us)
+        assert abs(u_interp - u_ref) < 0.035, (
+            f"u(0.5,{y_ref}) = {u_interp:.4f}, Ghia = {u_ref:.4f}"
+        )
+    # global minimum location/value
+    u_min = us.min()
+    assert -0.42 < u_min < -0.33  # Ghia: -0.38289
 
 
 def test_lidcavity_lid_actuation_fast(lid_base, tmp_path):
