@@ -74,6 +74,33 @@ def main():
     err = np.abs(sh - ref).max()
     print(f"devices: {len(devs)}, sharded-vs-single max err: {err:.2e}")
     assert err < 1e-9
+
+    # ── Krylov leg: the GMRES matvec (solver + preconditioner) is sharded ──
+    fs2 = LidCavityFlowSolver.make_default(
+        Re=500, num_steps=5, verbose=0, n_mesh=16,
+        path_out=Path("/tmp/demo_sharded_gmres"),
+        solver_backend="gmres", precision="f64",
+    )
+    fs2._assign_steady_state(fs.fields.U0.copy(), fs.fields.P0.copy())
+    fs2.initialize_time_stepping()
+    st2 = fs2.stepper
+    step2 = jax.jit(st2.step_fn())
+    carry2 = st2.init_carry(fs2._carry.u_n)
+    carry2, _ = step2(st2._dev, carry2, jnp.zeros(1))
+    ref2 = np.asarray(carry2.u_n)
+
+    shard_stepper(st2, mesh, axis="space")
+    carry2 = st2.init_carry(fs2._carry.u_n)
+    with mesh:
+        step2_sh = (
+            jax.jit(st2.step_fn())
+            .lower(st2._dev, carry2, jnp.zeros(1))
+            .compile(compiler_options=copts)
+        )
+        carry2, _ = step2_sh(st2._dev, carry2, jnp.zeros(1))
+    err2 = np.abs(np.asarray(carry2.u_n) - ref2).max()
+    print(f"gmres sharded-vs-single max err: {err2:.2e}")
+    assert err2 < 1e-9
     print("sharded demo OK")
 
 

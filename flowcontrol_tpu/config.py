@@ -45,6 +45,27 @@ HOST_DTYPE = np.float64
 INDEX_DTYPE = np.int32
 
 
+def device_hbm_budget_bytes() -> int:
+    """Usable HBM for resident solver state on the default device.
+
+    Tries the runtime's memory stats; falls back to a measured-conservative
+    default (the axon-tunneled v5e in this environment admits ~8.2 GB of
+    single-buffer allocations even though v5e hardware has 16 GB). Override
+    with FLOWCONTROL_TPU_HBM_GB.
+    """
+    env = os.environ.get("FLOWCONTROL_TPU_HBM_GB")
+    if env:
+        return int(float(env) * 1e9)
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit", 0)
+        if limit:
+            return int(limit * 0.9)
+    except Exception:
+        pass
+    return int(8.0e9)
+
+
 def default_device_dtype():
     """float32 on TPU (fast path), float64 elsewhere (exactness path)."""
     if os.environ.get("FLOWCONTROL_TPU_FORCE_DTYPE") in ("f32", "float32"):

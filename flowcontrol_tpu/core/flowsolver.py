@@ -65,11 +65,21 @@ logger = logging.getLogger(__name__)
 #: (two scheme factors + dense operators must fit HBM; above this, the
 #: matrix-free Krylov backend takes over)
 DENSE_LU_MAX_DOFS = 20_000
-# On a TPU the blocked dense-LU path scales further: factors are f32 in HBM
-# (4*n^2 bytes, ~13GB at n=57k) and iterative refinement switches to the
-# O(nnz) element-tensor matvec beyond the dense-operator regime. 57k covers
-# the reference's stock cylinder mesh O1 (56,201 mixed dofs).
-DENSE_LU_MAX_DOFS_TPU = 57_000
+
+
+def dense_lu_max_dofs_device(factor_bytes: int = 4) -> int:
+    """Largest dof count whose single dense factor fits the measured HBM
+    budget (with ~20% headroom for trisolve temps and the rollout state).
+
+    One f32 factor is 4*n^2 bytes — on a 16 GB chip that covers the
+    reference's stock cylinder mesh O1 (56,203 mixed dofs); on the ~8 GB
+    budget of this environment's tunneled v5e it caps near 40k, and the
+    bf16-factor mode (2 bytes) extends it back past 56k.
+    """
+    from flowcontrol_tpu.config import device_hbm_budget_bytes
+
+    budget = device_hbm_budget_bytes() * 0.8
+    return int((budget / factor_bytes) ** 0.5)
 
 
 class FlowSolver(ABC):
@@ -462,21 +472,39 @@ class FlowSolver(ABC):
         return u_, p_, u_n, u_nn, p_n
 
     def _project_ic_velocity(self, u_nodes: np.ndarray, bcset: BCSet) -> np.ndarray:
-        """Zero the IC at constrained velocity dofs (nodal interpolation is
-        exact on P2, so the BC application is the only projection effect)."""
-        u = np.asarray(u_nodes, dtype=float).copy()
-        flat = u.reshape(-1)
-        vel_bc = bcset.dofs[bcset.dofs < self.space.n_vel_dofs]
-        flat[vel_bc] = bcset.values[bcset.dofs < self.space.n_vel_dofs]
-        return flat.reshape(self.space.n_vnodes, 2)
+        """Constrained L2 projection of the IC velocity with the perturbation
+        BCs applied to the mass system, matching dolfin's
+        projectm(ic.u, V, bcs=bc.bcu) (ref: flowsolver.py:532): interior
+        dofs near constrained boundaries adjust through the mass coupling,
+        which boundary-derivative sensors (wall shear) are sensitive to."""
+        from flowcontrol_tpu.fem.projection import project_velocity_nodal_constrained
+
+        vel_sel = bcset.dofs < self.space.n_vel_dofs
+        vdofs = bcset.dofs[vel_sel]
+        vvals = np.asarray(bcset.values)[vel_sel]
+        return project_velocity_nodal_constrained(
+            self.geom, self.space, u_nodes,
+            bc_nodes=vdofs // 2, bc_comps=vdofs % 2, bc_vals=vvals,
+        )
 
     def _perturbation_div0(self, xloc=0.0, yloc=0.0, radius=1.0) -> np.ndarray:
-        """Div-free Gaussian velocity + base pressure, as a mixed vector
-        (ref: flowsolver.py:908-912)."""
+        """Div-free Gaussian velocity + base pressure, as a mixed vector.
+
+        The pressure component is the BASE pressure P0, not zero — the
+        reference merges u_nodiv with projectm(P0, P)
+        (ref: flowsolver.py:908-912). It does not affect the BDF/CN
+        trajectory (no pressure history terms) but is part of the exported
+        IC field and the parity surface.
+        """
         u = project_velocity(
             self.geom, self.space, get_div0_u_callable(xloc, yloc, radius)
         )
-        return np.concatenate([u.reshape(-1), np.zeros(self.space.n_pressure_dofs)])
+        p = (
+            np.asarray(self.fields.P0, dtype=float)
+            if self.fields.P0 is not None
+            else np.zeros(self.space.n_pressure_dofs)
+        )
+        return np.concatenate([u.reshape(-1), p])
 
     # ── Restart (ref: flowsolver.py:551-663) ─────────────────────────────────
 
@@ -559,10 +587,12 @@ class FlowSolver(ABC):
         import jax
 
         platform = jax.devices()[0].platform
-        if platform in ("tpu", "axon") and self.space.n_dofs <= DENSE_LU_MAX_DOFS_TPU:
-            # HBM holds the f32 factors; refinement uses the element-tensor
-            # matvec so no second dense operand is needed
-            return "dense_lu"
+        if platform in ("tpu", "axon"):
+            # HBM holds the factor (f32, or bf16 with extra refinement —
+            # stepper picks the storage dtype); refinement uses the
+            # element-tensor matvec so no second dense operand is needed
+            if self.space.n_dofs <= dense_lu_max_dofs_device(factor_bytes=2):
+                return "dense_lu"
         # larger problems: matrix-free Krylov on accelerators (host callbacks
         # are unsupported there); host sparse LU on CPU
         return "gmres" if platform in ("tpu", "axon", "gpu") else "host_lu"

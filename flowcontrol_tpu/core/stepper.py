@@ -84,6 +84,15 @@ class Stepper:
     #: above this size, XLA's LU custom call exhausts VMEM on v5e — use our
     #: matmul-blocked LU instead (solvers/block_lu.py)
     LAPACK_LU_MAX_N = 8192
+    #: above this many dofs, two dense factors (BDF1 + BDF2) no longer fit
+    #: one chip's HBM (2 x 4n^2 bytes): factor ONLY the BDF2 matrix and
+    #: solve the single BDF1 first step by preconditioned Richardson with
+    #: the BDF2 factor. A2^{-1}A1 has spectrum in [2/3, 1] (the matrices
+    #: differ only in the mass coefficient: M/dt + L vs 1.5M/dt + L), so
+    #: the error contracts by >= 3x per iteration — ~20 iterations reach
+    #: the f32 floor, paid once per run.
+    DENSE_TWO_FACTOR_MAX_N = 30_000
+    borrow_iters: int = 20
 
     def __post_init__(self):
         forms, space, bcs = self.forms, self.space, self.bcs
@@ -123,6 +132,13 @@ class Stepper:
         self._solver_kinds: list = []
         self._refine = 0
         free_mask = bcs.free_mask.astype(np.float64)
+        # single-factor regime: only the BDF2 matrix is dense-factored; the
+        # one BDF1 step borrows that factor (see DENSE_TWO_FACTOR_MAX_N)
+        self._borrow_first = (
+            self.backend == "dense_lu"
+            and orders == (1, 2)
+            and n > self.DENSE_TWO_FACTOR_MAX_N
+        )
         for order in orders:
             lhs_e = forms.transient_lhs(order, u0)
             a_csr = to_scipy_csr(lhs_e, space.cell_dofs, n)
@@ -130,6 +146,19 @@ class Stepper:
             la = (lift_cols @ profiles.T).T if self.n_act else np.zeros((0, n))
             dev["lift_act"].append(jnp.asarray(la, dtype=dt))
             dev["lift_static"].append(jnp.asarray(lift_cols @ bcs.values, dtype=dt))
+            if self._borrow_first and order == 1:
+                # no factor for BDF1: keep only the BC-masked element tensors
+                # for the Richardson matvec against A1
+                bc_mask_e = free_mask[space.cell_dofs]
+                dev["a_bc_e"].append(
+                    jnp.asarray(
+                        lhs_e * bc_mask_e[:, :, None] * bc_mask_e[:, None, :],
+                        dtype=dt,
+                    )
+                )
+                dev["solvers"].append(())
+                self._solver_kinds.append("borrowed")
+                continue
             if self.backend == "dense_lu":
                 # factor ON DEVICE (MXU) in the target dtype: a dense f32 LU
                 # of the fixed time-step matrix — O(n^3) once, fast on TPU,
@@ -347,6 +376,16 @@ class Stepper:
     def _solve(self, dev, order, rhs, x_guess=None):
         oi = self._order_idx[order]
         if self.backend == "dense_lu":
+            if self._solver_kinds[oi] == "borrowed":
+                # BDF1 first step in the single-factor regime: Richardson
+                # iteration preconditioned by the BDF2 factor. A2^{-1}A1 has
+                # spectrum in [2/3, 1] so each sweep contracts >= 3x.
+                oi2 = self._order_idx[2]
+                x = self._dense_solve_once(dev, oi2, rhs)
+                for _ in range(self.borrow_iters):
+                    r = rhs - self._lhs_matvec(dev, oi, x)
+                    x = x + self._dense_solve_once(dev, oi2, r)
+                return x
             x = self._dense_solve_once(dev, oi, rhs)
             for _ in range(self._refine):
                 # one refinement step recovers direct-solver accuracy in f32

@@ -82,6 +82,40 @@ def project_velocity(
     return out
 
 
+def project_velocity_nodal_constrained(
+    geom: CellGeometry,
+    space: TaylorHoodSpace,
+    u_nodes: np.ndarray,
+    bc_nodes: np.ndarray,
+    bc_comps: np.ndarray,
+    bc_vals: np.ndarray,
+) -> np.ndarray:
+    """Constrained L2 re-projection of a nodal P2 field, matching
+    dolfin.project(v, V, bcs=...) semantics (ref: flowsolver.py:532 via
+    src/utils/fem.py:16): solve ``M u = M u_in`` with the Dirichlet ROWS
+    replaced by identity (non-symmetric elimination, as dolfin's
+    ``bc.apply(A); bc.apply(b)`` does). Interior dofs adjacent to the
+    boundary adjust through the mass coupling — they are NOT simply the
+    input values, which matters for boundary-derivative sensors.
+    """
+    m = velocity_mass_csr(geom, space)
+    u_in = np.asarray(u_nodes, dtype=np.float64)
+    out = np.empty_like(u_in)
+    for comp in range(2):
+        b = m @ u_in[:, comp]
+        sel = bc_comps == comp
+        nodes = np.asarray(bc_nodes)[sel]
+        mm = m
+        if len(nodes):
+            mm = m.tolil(copy=True)
+            mm[nodes, :] = 0.0
+            mm[nodes, nodes] = 1.0
+            mm = mm.tocsr()
+            b[nodes] = np.asarray(bc_vals)[sel]
+        out[:, comp] = spla.spsolve(mm.tocsc(), b)
+    return out
+
+
 def project_pressure(geom: CellGeometry, space: TaylorHoodSpace, fn) -> np.ndarray:
     m = pressure_mass_csr(geom, space)
     qp = quadrature_points_physical(space)

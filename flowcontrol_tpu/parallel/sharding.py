@@ -141,9 +141,13 @@ def shard_stepper(stepper, mesh: Mesh, axis: str = "space",
                   batch_axis: str | None = None):
     """Re-route a Stepper's element applies through sharded SPMD versions.
 
-    Installs the stepper's apply/nl hooks; the dense-LU solve stays
-    replicated (every device back-substitutes the same factors — cheap at the
-    sizes where dense LU is used; the Krylov backend shards the matvec too).
+    Installs the stepper's apply/nl hooks. For the Krylov backends the
+    matrix-free matvec used by GMRES/BiCGStab — both inside the solver
+    iteration and inside the SIMPLE preconditioner's Jacobi sweeps — is also
+    rerouted through the element-sharded apply, so the per-iteration work
+    scales with devices. The dense-LU solve stays replicated (every device
+    back-substitutes the same factors — cheap at the sizes where dense LU
+    is used).
     """
     from flowcontrol_tpu.fem.assembly import velocity_cell_dofs
 
@@ -168,4 +172,37 @@ def shard_stepper(stepper, mesh: Mesh, axis: str = "space",
     )
     stepper._apply_hook = lambda key, x: applies[key](x)
     stepper._nl_hook = nl
+
+    if stepper.backend in ("gmres", "bicgstab"):
+        from flowcontrol_tpu.solvers.krylov import (
+            HookedOperator,
+            SimplePreconditioner,
+        )
+
+        for oi in range(len(dev["solvers"])):
+            op, pc = dev["solvers"][oi]
+            fm = jnp.asarray(np.asarray(op.free_mask))
+            raw_apply = sharded_apply_builder(
+                np.asarray(op.a_e), np.asarray(op.cell_dofs),
+                space.n_dofs, mesh, **kw,
+            )
+
+            def bc_masked_apply(x, _raw=raw_apply, _fm=fm):
+                xm = x * _fm
+                y = _raw(xm)
+                return y * _fm + x * (1.0 - _fm)
+
+            sharded_op = HookedOperator(bc_masked_apply)
+            dev["solvers"][oi] = (
+                sharded_op,
+                SimplePreconditioner(
+                    op=sharded_op,
+                    inv_diag_f=pc.inv_diag_f,
+                    s_inv=pc.s_inv,
+                    vel_mask=pc.vel_mask,
+                    n_vel=pc.n_vel,
+                    jacobi_sweeps=pc.jacobi_sweeps,
+                    omega=pc.omega,
+                ),
+            )
     return stepper

@@ -74,6 +74,27 @@ class MatFreeOperator:
 
 
 @jax.tree_util.register_pytree_node_class
+class HookedOperator:
+    """Operator whose ``apply`` delegates to an externally-built function
+    (e.g. an SPMD-sharded element apply from parallel.sharding). The
+    function is pytree AUX data: any device arrays it closes over become
+    jit constants, exactly like the Stepper's apply/nl hooks."""
+
+    def __init__(self, apply_fn):
+        self._apply_fn = apply_fn
+
+    def tree_flatten(self):
+        return (), (self._apply_fn,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0])
+
+    def apply(self, x):
+        return self._apply_fn(x)
+
+
+@jax.tree_util.register_pytree_node_class
 class SimplePreconditioner:
     """SIMPLE block preconditioner with dense Schur inverse (jit-able pytree)."""
 

@@ -111,6 +111,64 @@ def test_stock_cylinder_closed_loop_regression(stock_base_flow):
     assert np.isclose(last["dE"], _LAST_DE_REF, rtol=1e-4)
 
 
+CAVITY_MESH = Path(
+    "/root/reference/src/examples/cavity/data_input/cavity_coarse.xdmf"
+)
+
+# ref: tests/integration/test_cavity.py:47-54
+_CAV_U0_MAX_REF = 1.053181755992023
+_CAV_U0_MEAN_REF = 0.3497226515169121
+_CAV_U_MAX_REF = 1.1897880864595587
+_CAV_U_MEAN_REF = 0.3565670457803184
+_CAV_Y1_REF = 6.0488687475121505  # wall shear integral
+_CAV_Y2_REF = 0.024799707355708498  # point U at (0.1, 0.1)
+_CAV_DE_REF = 0.005000924582291293
+
+
+@pytest.fixture(scope="module")
+def stock_cavity_base_flow(tmp_path_factory):
+    """Cavity Re=7500 base flow on the reference's stock coarse mesh via the
+    reference protocol: Picard(10, tol 1e-7) then Newton(10)
+    (ref: test_cavity.py:65-68). ~10 min at 235k dofs."""
+    from flowcontrol_tpu.models.cavity import CavityFlowSolver
+
+    path_out = tmp_path_factory.mktemp("stock_cavity")
+    fs = CavityFlowSolver.make_default(
+        Re=7500, meshpath=CAVITY_MESH, num_steps=10, save_every=5,
+        path_out=path_out, verbose=0,
+        solver_backend="host_lu", precision="f64",
+    )
+    fs.compute_steady_state(method="picard", max_iter=10, tol=1e-7, u_ctrl=[0.0])
+    fs.compute_steady_state(
+        method="newton", max_iter=10, u_ctrl=[0.0], initial_guess=fs.fields.UP0
+    )
+    return fs
+
+
+def test_stock_cavity_base_flow_and_regression(stock_cavity_base_flow):
+    """Base flow at the reference's rtol=1e-6 (measured ~1e-12), then the
+    10-step unactuated regression (measured parity: U_mean 9.4e-7,
+    y2 2.4e-7, dE 2.1e-6, U_max 2.6e-5, wall shear 1.1e-3 — the shear
+    integral is the most IC-quadrature-sensitive observable)."""
+    fs = stock_cavity_base_flow
+    u0 = fs.fields.U0.reshape(-1)
+    assert np.isclose(u0.max(), _CAV_U0_MAX_REF, rtol=1e-6)
+    assert np.isclose(u0.mean(), _CAV_U0_MEAN_REF, rtol=1e-6)
+
+    fs.initialize_time_stepping(ic=None)
+    for _ in range(10):
+        fs.step(u_ctrl=[0.0])
+    fs.write_timeseries()
+    U_full = fs.fields.u_n + fs.fields.U0
+    last = fs.timeseries.iloc[-1]
+    assert np.isclose(last["time"], 0.004, rtol=1e-6)
+    assert np.isclose(U_full.max(), _CAV_U_MAX_REF, rtol=2e-4)
+    assert np.isclose(U_full.mean(), _CAV_U_MEAN_REF, rtol=1e-5)
+    assert np.isclose(last["y_meas_1"], _CAV_Y1_REF, rtol=5e-3)
+    assert np.isclose(last["y_meas_2"], _CAV_Y2_REF, rtol=1e-5)
+    assert np.isclose(last["dE"], _CAV_DE_REF, rtol=1e-4)
+
+
 def test_stock_cylinder_unstable_eigenvalue(stock_base_flow):
     """The unstable eigenvalue of the linearized operator on the stock mesh
     matches 0.132643 + 0.770015j (measured agreement: 5.7e-7)."""
