@@ -130,6 +130,7 @@ class Stepper:
         dev["a_dense"] = []
         dev["a_bc_e"] = []
         self._solver_kinds: list = []
+        self._schur_static: dict = {}
         self._refine = 0
         free_mask = bcs.free_mask.astype(np.float64)
         # single-factor regime: only the BDF2 matrix is dense-factored; the
@@ -169,12 +170,42 @@ class Stepper:
                     self._solver_kinds.append("lapack")
                     dev["solvers"].append((lu, piv))
                 else:
-                    from flowcontrol_tpu.solvers.block_lu import BlockLU
+                    from flowcontrol_tpu.config import device_hbm_budget_bytes
 
-                    # sparse input: densify + factor on device (ships O(nnz))
-                    blu = BlockLU(a_bc, bs=self.block_lu_bs, dtype=dt)
-                    self._solver_kinds.append("block")
-                    dev["solvers"].append((blu.lu, blu.dinv))
+                    fbytes = np.dtype(dt).itemsize
+                    n_pad = n + (-n) % self.block_lu_bs
+                    budget = device_hbm_budget_bytes() * 0.75
+                    if fbytes * n_pad * n_pad <= budget:
+                        from flowcontrol_tpu.solvers.block_lu import BlockLU
+
+                        # one dense factor fits: densify + factor on device
+                        # (ships O(nnz) triplets, not the n^2 matrix)
+                        blu = BlockLU(a_bc, bs=self.block_lu_bs, dtype=dt)
+                        self._solver_kinds.append("block")
+                        dev["solvers"].append((blu.lu, blu.dinv))
+                    else:
+                        # past the single-factor ceiling: substructured
+                        # block-elimination (k interior factors of ~(n/k)^2
+                        # + dense interface Schur complement) — memory
+                        # ~n^2/k, all solves stay matmuls on the MXU
+                        from flowcontrol_tpu.parallel.dofsharding import (
+                            mixed_dof_coordinates,
+                        )
+                        from flowcontrol_tpu.solvers.substructure import (
+                            SubstructuredLU,
+                        )
+
+                        k_blocks = max(
+                            2, int(np.ceil(fbytes * n_pad * n_pad / (0.5 * budget)))
+                        )
+                        slu = SubstructuredLU(
+                            a_bc, mixed_dof_coordinates(space),
+                            n_blocks=k_blocks, bs=min(self.block_lu_bs, 512),
+                            dtype=dt,
+                        )
+                        self._solver_kinds.append("schur")
+                        self._schur_static[len(dev["solvers"])] = slu.static()
+                        dev["solvers"].append(slu.tree())
                 # iterative refinement operand: a dense n x n matvec where
                 # the dense-operator regime allows it (HBM-speed, no
                 # gathers); beyond that, BC-masked element tensors keep the
@@ -347,6 +378,12 @@ class Stepper:
     def _dense_solve_once(self, dev, oi, rhs):
         if self._solver_kinds[oi] == "lapack":
             return dense_lu_solve(dev["solvers"][oi], rhs)
+        if self._solver_kinds[oi] == "schur":
+            from flowcontrol_tpu.solvers.substructure import substructured_solve
+
+            return substructured_solve(
+                dev["solvers"][oi], rhs, **self._schur_static[oi]
+            )
         if self.trisolve == "pallas":
             from flowcontrol_tpu.ops.pallas_trisolve import pallas_block_lu_solve
 

@@ -43,10 +43,13 @@ def _block_lu_from_coo(rows, cols, vals, n: int, n_pad: int, bs: int):
     """Densify COO triplets on device (identity on padding rows) and factor.
 
     Fusing densify+factor into one jit keeps peak HBM at one n_pad^2 buffer
-    plus the diagonal-block inverses.
+    plus the diagonal-block inverses. Scatter-ADD (entries are unique in a
+    CSR->COO conversion) so callers may zero-pad the triplet arrays to a
+    common length and share one compiled program across many matrices of
+    the same padded size (substructured solves factor k blocks).
     """
     a = jnp.zeros((n_pad, n_pad), dtype=vals.dtype)
-    a = a.at[rows, cols].set(vals)
+    a = a.at[rows, cols].add(vals)
     if n_pad > n:
         pad_ids = jnp.arange(n, n_pad)
         a = a.at[pad_ids, pad_ids].set(jnp.ones((n_pad - n,), dtype=vals.dtype))
@@ -108,17 +111,26 @@ class BlockLU:
     a relayed TPU connection, and skips the 2x 24GB host f64 staging copies.
     """
 
-    def __init__(self, a, bs: int = 1024, dtype=jnp.float32):
+    def __init__(self, a, bs: int = 1024, dtype=jnp.float32,
+                 nnz_pad: int | None = None):
         self.bs = bs
         self.dtype = dtype
         if hasattr(a, "tocoo"):  # scipy sparse
             coo = a.tocoo()
             self.n = coo.shape[0]
             self.n_pad = self.n + ((-self.n) % bs)
+            rows, cols, data = coo.row, coo.col, coo.data
+            if nnz_pad is not None and nnz_pad > len(data):
+                # zero-pad the triplets so equal-sized matrices with
+                # different sparsity share ONE compiled densify+factor
+                pad = nnz_pad - len(data)
+                rows = np.concatenate([rows, np.zeros(pad, rows.dtype)])
+                cols = np.concatenate([cols, np.zeros(pad, cols.dtype)])
+                data = np.concatenate([data, np.zeros(pad, data.dtype)])
             lu, dinv = _block_lu_from_coo(
-                jnp.asarray(coo.row, dtype=jnp.int32),
-                jnp.asarray(coo.col, dtype=jnp.int32),
-                jnp.asarray(coo.data, dtype=dtype),
+                jnp.asarray(rows, dtype=jnp.int32),
+                jnp.asarray(cols, dtype=jnp.int32),
+                jnp.asarray(data, dtype=dtype),
                 n=self.n, n_pad=self.n_pad, bs=bs,
             )
         else:

@@ -22,9 +22,7 @@ def make_solver(mesh, tmp_path, num_steps=10, save_every=0, Tstart=0.0, **kw):
         path_out=tmp_path,
         save_every=save_every,
         Tstart=Tstart,
-        solver_backend="host_lu",
-        precision="f64",
-        **kw,
+        **{"solver_backend": "host_lu", "precision": "f64", **kw},
     )
 
 
@@ -245,3 +243,25 @@ def test_cylinder_legacy_param_restart(coarse_cylinder_mesh, base_flow, tmp_path
     assert fs2.order == 2
     y = fs2.step(np.zeros(2))
     assert np.isfinite(y).all()
+
+
+def test_cylinder_dense_f32_production_path_fast(coarse_cylinder_mesh, base_flow, tmp_path):
+    """dense_lu + f32 + refinement (the BENCH/TPU configuration) vs the
+    host_lu f64 validation path on a closed-loop-style actuated run."""
+    u0, p0, *_ = base_flow
+
+    def run(backend, precision):
+        fs = make_solver(
+            coarse_cylinder_mesh, tmp_path / f"{backend}_{precision}",
+            num_steps=4, solver_backend=backend, precision=precision,
+        )
+        fs._assign_steady_state(u0, p0)
+        fs.initialize_time_stepping()
+        ys = [fs.step(np.array([0.3, -0.2])) for _ in range(4)]
+        return np.array(ys), np.asarray(fs.fields.up_, dtype=float)
+
+    y_ref, x_ref = run("host_lu", "f64")
+    y_32, x_32 = run("dense_lu", "f32")
+    rel = np.linalg.norm(x_32 - x_ref) / np.linalg.norm(x_ref)
+    assert rel < 1e-4, rel
+    assert np.allclose(y_32, y_ref, rtol=5e-4, atol=1e-6)
