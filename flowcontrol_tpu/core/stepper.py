@@ -141,9 +141,22 @@ class Stepper:
             and n > self.DENSE_TWO_FACTOR_MAX_N
         )
         for order in orders:
+            import logging
+            import time as _time
+
+            _log = logging.getLogger(__name__)
+            _t0 = _time.time()
             lhs_e = forms.transient_lhs(order, u0)
+            _t1 = _time.time()
             a_csr = to_scipy_csr(lhs_e, space.cell_dofs, n)
+            _t2 = _time.time()
+            _log.info(
+                "prepare order=%s: transient_lhs %.1fs, to_csr %.1fs",
+                order, _t1 - _t0, _t2 - _t1,
+            )
             a_bc, lift_cols = bcs.eliminate_csr(a_csr)
+            _log.info("prepare order=%s: eliminate_csr %.1fs", order,
+                      _time.time() - _t2)
             la = (lift_cols @ profiles.T).T if self.n_act else np.zeros((0, n))
             dev["lift_act"].append(jnp.asarray(la, dtype=dt))
             dev["lift_static"].append(jnp.asarray(lift_cols @ bcs.values, dtype=dt))

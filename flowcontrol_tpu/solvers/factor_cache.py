@@ -1,0 +1,91 @@
+"""Disk cache for expensive one-time factorization byproducts.
+
+The reference pays its setup cost (MUMPS symbolic+numeric factorization,
+ref: src/flowcontrol/flowsolver.py:665-701) on every run. On TPU the
+analogous cost is split between host-side Schur-complement assembly
+(``solvers/substructure.py``) and on-device factor compilation; the XLA
+pieces are covered by the persistent compilation cache (``config.py``),
+and this module covers the host pieces. Entries are keyed by a content
+hash of the BC-eliminated matrix plus the factorization parameters, so a
+restarted campaign on the same mesh/dt warm-starts in seconds.
+
+Cache location: ``FLOWCONTROL_TPU_FACTOR_CACHE`` (``off`` disables),
+default ``~/.cache/flowcontrol_tpu/factors``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def cache_dir() -> Path | None:
+    d = os.environ.get(
+        "FLOWCONTROL_TPU_FACTOR_CACHE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "flowcontrol_tpu", "factors"
+        ),
+    )
+    if not d or d.lower() == "off":
+        return None
+    p = Path(d)
+    try:
+        p.mkdir(parents=True, exist_ok=True)
+    except OSError:
+        return None
+    return p
+
+
+def matrix_key(a_csr, *extras) -> str:
+    """Content hash of a CSR matrix + parameter strings."""
+    h = hashlib.sha256()
+    h.update(np.asarray(a_csr.shape, dtype=np.int64).tobytes())
+    h.update(np.ascontiguousarray(a_csr.indptr).tobytes())
+    h.update(np.ascontiguousarray(a_csr.indices).tobytes())
+    h.update(np.ascontiguousarray(a_csr.data).tobytes())
+    for e in extras:
+        h.update(repr(e).encode())
+    return h.hexdigest()[:24]
+
+
+def load(key: str) -> dict | None:
+    d = cache_dir()
+    if d is None:
+        return None
+    f = d / f"{key}.npz"
+    if not f.exists():
+        return None
+    try:
+        with np.load(f) as z:
+            out = {k: z[k] for k in z.files}
+        logger.info("factor cache hit: %s", f)
+        return out
+    except Exception:  # truncated/corrupt entry: treat as miss
+        logger.warning("factor cache entry unreadable, ignoring: %s", f)
+        return None
+
+
+def save(key: str, **arrays: np.ndarray) -> None:
+    d = cache_dir()
+    if d is None:
+        return
+    f = d / f"{key}.npz"
+    # atomic write: concurrent runs may race on the same entry
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, **arrays)
+        os.replace(tmp, f)
+        logger.info("factor cache store: %s", f)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass

@@ -26,12 +26,17 @@ refinement for direct-solver-grade accuracy).
 
 from __future__ import annotations
 
+import logging
+import time
+
 import numpy as np
 import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
 
 
 def spatial_dof_order(coords: np.ndarray) -> np.ndarray:
@@ -101,7 +106,9 @@ class SubstructuredLU:
         n = a_csr.shape[0]
         self.n = n
         self.n_blocks = n_blocks
+        t_part = time.time()
         interiors, iface = partition_dofs(a_csr, coords, n_blocks)
+        logger.info("substructure: partition %.1fs", time.time() - t_part)
         if not all(len(i) for i in interiors):
             raise ValueError("empty interior block — reduce n_blocks")
         self.n_iface = len(iface)
@@ -120,34 +127,94 @@ class SubstructuredLU:
         valid = perm < n
         ipos[perm[valid]] = np.where(valid)[0]
 
-        # host-exact Schur complement (f64)
-        a_bb = a_csr[np.ix_(iface, iface)].toarray()
+        # host-exact Schur complement (f64) — the expensive one-time host
+        # work (k sparse factorizations + dense interface solves); cached on
+        # disk keyed by matrix content so warm restarts skip it entirely
+        from flowcontrol_tpu.solvers.factor_cache import load, matrix_key, save
+
+        key = matrix_key(
+            a_csr, "schur-v1", n_blocks, bs, np.dtype(dtype).name
+        )
+        cached = load(key)
+        schur_hit = (
+            cached is not None
+            and cached["a_bb"].shape == (len(iface), len(iface))
+        )
+        t0 = time.time()
+        # permute the matrix into substructured order ONCE (one global fancy
+        # index); all block extraction below is then contiguous-range slicing.
+        # Per-block np.ix_ fancy indexing costs minutes at production sizes.
+        order_list = np.concatenate(list(interiors) + [iface])
+        a_perm = a_csr[order_list][:, order_list].tocsr()
+        offs = np.concatenate([[0], np.cumsum([len(i) for i in interiors])])
+        n_int = int(offs[-1])
+        a_dds = [
+            a_perm[offs[d]: offs[d + 1], offs[d]: offs[d + 1]]
+            for d in range(n_blocks)
+        ]
+        logger.info("substructure: permute+slice %.1fs", time.time() - t0)
+
+        t0 = time.time()
+        a_bb = (
+            cached["a_bb"] if schur_hit
+            else a_perm[n_int:, n_int:].toarray()
+        )
         lus, aib_d, abi_d = [], [], []
         # common triplet padding => one compiled densify+factor for all blocks
-        nnz_pad = max(
-            a_csr[np.ix_(ids, ids)].nnz + n_imax for ids in interiors
-        )
+        nnz_pad = max(a_dd.nnz + n_imax for a_dd in a_dds)
+        np_dtype = np.dtype(dtype)
+        t_splu = t_blu = t_slice = 0.0
         for d, ids in enumerate(interiors):
-            a_dd = a_csr[np.ix_(ids, ids)].tocsc()
-            a_ib = a_csr[np.ix_(ids, iface)].toarray()
-            a_bi = a_csr[np.ix_(iface, ids)].toarray()
-            lu = spla.splu(a_dd)
-            a_bb -= a_bi @ lu.solve(a_ib)
-            # device blocks, padded (identity on padding diagonal)
             ni = len(ids)
-            a_dd_pad = sp.eye(n_imax, format="lil")
-            a_dd_pad[:ni, :ni] = a_dd
-            lus.append(
-                BlockLU(a_dd_pad.tocsr(), bs=bs, dtype=dtype, nnz_pad=nnz_pad)
+            t1 = time.time()
+            a_dd = a_dds[d]
+            a_ib = a_perm[offs[d]: offs[d + 1], n_int:].toarray()
+            a_bi = a_perm[n_int:, offs[d]: offs[d + 1]].toarray()
+            t_slice += time.time() - t1
+            if not schur_hit:
+                t1 = time.time()
+                lu = spla.splu(a_dd.tocsc())
+                a_bb -= a_bi @ lu.solve(a_ib)
+                t_splu += time.time() - t1
+            # device blocks, padded (identity on padding diagonal) — built
+            # as raw COO triplets: LIL padding takes minutes at this size
+            t1 = time.time()
+            a_dd_coo = a_dd.tocoo()
+            pad_ids = np.arange(ni, n_imax, dtype=a_dd_coo.row.dtype)
+            a_dd_pad = sp.coo_matrix(
+                (
+                    np.concatenate([a_dd_coo.data,
+                                    np.ones(n_imax - ni, a_dd_coo.data.dtype)]),
+                    (
+                        np.concatenate([a_dd_coo.row, pad_ids]),
+                        np.concatenate([a_dd_coo.col, pad_ids]),
+                    ),
+                ),
+                shape=(n_imax, n_imax),
             )
-            pad_ib = np.zeros((n_imax, len(iface)))
+            lus.append(BlockLU(a_dd_pad, bs=bs, dtype=dtype, nnz_pad=nnz_pad))
+            t_blu += time.time() - t1
+            t1 = time.time()
+            pad_ib = np.zeros((n_imax, len(iface)), dtype=np_dtype)
             pad_ib[:ni] = a_ib
-            pad_bi = np.zeros((len(iface), n_imax))
+            pad_bi = np.zeros((len(iface), n_imax), dtype=np_dtype)
             pad_bi[:, :ni] = a_bi
             aib_d.append(pad_ib)
             abi_d.append(pad_bi)
+            t_slice += time.time() - t1
+        logger.info(
+            "substructure: %d blocks, n_imax=%d, n_iface=%d, schur %s — "
+            "slice %.1fs, splu+schur %.1fs, device factors %.1fs",
+            n_blocks, n_imax, self.n_iface,
+            "loaded" if schur_hit else "assembled", t_slice, t_splu, t_blu,
+        )
+        if not schur_hit:
+            save(key, a_bb=a_bb)
 
-        self._s_lu = BlockLU(sp.csr_matrix(a_bb), bs=bs, dtype=dtype)
+        t0 = time.time()
+        # dense path: ships the padded f32 interface matrix (~n_iface^2*4B),
+        # smaller than its 12B/nnz dense-as-COO triplet encoding
+        self._s_lu = BlockLU(a_bb, bs=bs, dtype=dtype)
         self._bs = bs
         dev = {
             "lu": jnp.stack([l.lu for l in lus]),
@@ -159,6 +226,10 @@ class SubstructuredLU:
             "perm": jnp.asarray(perm),
             "ipos": jnp.asarray(ipos),
         }
+        jax.block_until_ready(dev["lu"])
+        logger.info(
+            "substructure: device factors ready in %.1fs", time.time() - t0
+        )
         self._dev = dev
         self._n_pad_iface = self._s_lu.n_pad
 

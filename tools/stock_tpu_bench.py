@@ -1,6 +1,8 @@
 """Stock O1 mesh (56,203 dofs) on the real TPU through the production
 dense_lu path (substructured block-elimination at this scale)."""
 import sys, time
+import logging
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s: %(message)s")
 import numpy as np
 from pathlib import Path
 
@@ -25,10 +27,18 @@ fs._prepare_systems()
 fs.first_step = False
 st = fs._stepper
 print(f"prepare_systems (factor+compile): {time.time()-t1:.0f}s  kinds={st._solver_kinds}", flush=True)
+try:
+    ms = jax.devices()[0].memory_stats() or {}
+    print("hbm:", {k: round(v/1e9, 2) for k, v in ms.items() if "bytes" in k and v > 1e8}, flush=True)
+except Exception as e:
+    print("hbm stats n/a", e, flush=True)
 
 # correctness: a few steps vs the host f64 trajectory
+print(f"t carry {time.time()-t0:.0f}s", flush=True)
 carry = fs._carry
+print(f"t carry done {time.time()-t0:.0f}s", flush=True)
 step = st.compiled_step()
+print(f"t compiled_step {time.time()-t0:.0f}s", flush=True)
 t1 = time.time()
 carry, out = step(carry, np.zeros(2, dtype=st.dtype))
 jax.block_until_ready(out.y)
