@@ -40,9 +40,10 @@ def unit_square_mesh(nx: int, ny: int | None = None, diagonal: str = "right") ->
     return rectangle_mesh((0.0, 0.0), (1.0, 1.0), nx, ny, diagonal)
 
 
-def rectangle_mesh(p0, p1, nx: int, ny: int, diagonal: str = "right") -> Mesh2D:
-    x = np.linspace(p0[0], p1[0], nx + 1)
-    y = np.linspace(p0[1], p1[1], ny + 1)
+def rectangle_mesh(p0, p1, nx: int, ny: int, diagonal: str = "right",
+                   x=None, y=None) -> Mesh2D:
+    x = np.linspace(p0[0], p1[0], nx + 1) if x is None else np.asarray(x)
+    y = np.linspace(p0[1], p1[1], ny + 1) if y is None else np.asarray(y)
     xx, yy = np.meshgrid(x, y, indexing="ij")
     coords = np.stack([xx.ravel(), yy.ravel()], axis=1)
 
@@ -430,8 +431,22 @@ def cavity_mesh(**mesh_param) -> Mesh2D:
 # ── Lid-driven cavity ────────────────────────────────────────────────────────
 
 
-def lidcavity_mesh(n: int = 64, diagonal: str = "crossed") -> Mesh2D:
-    """Unit-square lid-driven cavity mesh (ref: mesh_generation/lidcavity.py)."""
+def lidcavity_mesh(n: int = 64, diagonal: str = "crossed",
+                   stretch: float = 0.0) -> Mesh2D:
+    """Unit-square lid-driven cavity mesh (ref: mesh_generation/lidcavity.py).
+
+    ``stretch`` > 0 applies a tanh clustering of grid lines toward all four
+    walls (the reference grades its gmsh lid-cavity meshes in 3 wall bands);
+    the Re≳5000 steady states have Re^-1/2 wall layers that a uniform grid
+    cannot resolve. stretch≈2 shrinks the wall spacing ~4x at the cost of
+    ~2x coarser cells mid-cavity.
+    """
+    if stretch > 0.0:
+        s = np.linspace(-1.0, 1.0, n + 1)
+        t = 0.5 * (1.0 + np.tanh(stretch * s) / np.tanh(stretch))
+        t[0], t[-1] = 0.0, 1.0
+        return rectangle_mesh((0.0, 0.0), (1.0, 1.0), n, n, diagonal,
+                              x=t, y=t)
     return unit_square_mesh(n, n, diagonal=diagonal)
 
 

@@ -110,6 +110,22 @@ def test_lidcavity_mesh():
     assert np.isclose(m.cell_areas().sum(), 1.0)
 
 
+def test_lidcavity_mesh_stretched():
+    """tanh grading clusters grid lines at all four walls, keeps area 1."""
+    m = lidcavity_mesh(16, stretch=2.0)
+    assert np.isclose(m.cell_areas().sum(), 1.0)
+    x = np.unique(m.coords[:, 0])
+    dx = np.diff(x)
+    assert dx[0] < 0.25 * dx.max()  # wall spacing ≪ mid-cavity spacing
+    assert np.isclose(x[0], 0.0) and np.isclose(x[-1], 1.0)
+    # symmetric about the center
+    assert np.allclose(x, 1.0 - x[::-1])
+    # anisotropic wall cells are intentional (boundary layers); only require
+    # non-degeneracy
+    assert m.cell_areas().min() > 0
+    assert mesh_quality(m)["q_min"] > 0.01
+
+
 def test_mesh_io_roundtrip(tmp_path, small_mesh):
     from flowcontrol_tpu.mesh.io import read_xdmf_mesh, write_xdmf_mesh
 
