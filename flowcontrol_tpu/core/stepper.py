@@ -61,6 +61,21 @@ class StepOutput(NamedTuple):
     x: jnp.ndarray  # full state
 
 
+def _rollout_body(step, with_state: bool):
+    """Scan body for open-loop rollouts: (dev, carry, u) -> (carry', out).
+
+    with_state=False replaces out.x with a 0-d placeholder so the scan does
+    not stack the full state every step (T*B*n floats)."""
+
+    def body(dev, c, u):
+        c2, out = step(dev, c, u)
+        if not with_state:
+            out = out._replace(x=jnp.zeros((), dtype=out.x.dtype))
+        return c2, out
+
+    return body
+
+
 @dataclass
 class Stepper:
     """Device-resident stepping engine for one linearized-around-U0 problem."""
@@ -571,12 +586,12 @@ class Stepper:
                 self._scan_step = partial(fn, dev_arg)
         return self._scan_step
 
-    def rollout_open_loop(self, carry: StepCarry, u_seq):
+    def rollout_open_loop(self, carry: StepCarry, u_seq, with_state=False):
         """Scan num_steps with a prescribed control sequence (T, n_act)."""
         step = self.step_fn()
         u_seq = jnp.asarray(u_seq, dtype=self.dtype)
-        dev = self._dev
-        return jax.lax.scan(lambda c, u: step(dev, c, u), carry, u_seq)
+        body = partial(_rollout_body(step, with_state), self._dev)
+        return jax.lax.scan(body, carry, u_seq)
 
     def _wrap_exec_device(self, fn):
         """Pin execution to CPU for the host_lu (pure_callback) backend."""
@@ -590,13 +605,23 @@ class Stepper:
 
         return wrapped
 
-    def make_rollout_open_loop(self):
-        """jitted (dev-as-arg) open-loop rollout fn: (carry, u_seq) -> (carry, outs)."""
+    def make_rollout_open_loop(self, with_state: bool = False):
+        """jitted (dev-as-arg) open-loop rollout fn: (carry, u_seq) -> (carry, outs).
+
+        ``with_state=False`` (default) drops the per-step full state from the
+        stacked scan outputs — stacking x costs T*B*n floats (5.7 GB for a
+        B=256, T=100 batched rollout at the 56k-dof stock mesh, an instant
+        OOM next to the resident factors); the final state is always
+        available in the returned carry, and checkpoint-cadence snapshots go
+        through FlowSolver.step/exporter (ref: exporter.py:85-165), not
+        through rollouts.
+        """
         step = self.step_fn()
+        body = _rollout_body(step, with_state)
 
         @partial(jax.jit)
         def roll(dev, carry, u_seq):
-            return jax.lax.scan(lambda c, u: step(dev, c, u), carry, u_seq)
+            return jax.lax.scan(partial(body, dev), carry, u_seq)
 
         return self._wrap_exec_device(partial(roll, self._dev))
 
