@@ -54,9 +54,15 @@ def build_solver(backend: str, precision: str, stock: bool):
     from flowcontrol_tpu.models.cylinder import CylinderFlowSolver
 
     kw = dict(meshpath=STOCK_MESH) if stock else dict(mesh_kwargs=MESH_KWARGS)
+    # factor_apply='inverse' (explicit block inverses, one matmul per solve)
+    # is 21-37% faster at stock scale but the no-pivot inverse composition
+    # degrades to preconditioner-grade there (docs/tpu-design.md) — the
+    # accurate trisolve path stays the default.
+    opts = {"factor_apply": os.environ.get("BENCH_FACTOR_APPLY", "trisolve")}
     return CylinderFlowSolver.make_default(
         Re=100, num_steps=BENCH_STEPS, verbose=0,
-        solver_backend=backend, precision=precision, **kw,
+        solver_backend=backend, precision=precision,
+        stepper_options=opts if backend == "dense_lu" else {}, **kw,
     )
 
 

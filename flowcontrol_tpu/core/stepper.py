@@ -93,6 +93,17 @@ class Stepper:
     gmres_iters: int = 30
     gmres_restarts: int = 2
     refine_steps: int | None = None  # dense-path iterative refinement (None=auto)
+    #: 'bf16' stores dense factors (and substructure coupling blocks) in
+    #: bfloat16 — half the factor-read bytes and the MXU's bf16 rate in the
+    #: batched regime — with one extra refinement sweep to recover accuracy.
+    #: Factorization still runs in `dtype`; only the finished factor is
+    #: rounded (see BlockLU.store_dtype).
+    factor_dtype: str | None = None
+    #: 'inverse' precomputes explicit (disk-cached) block inverses so every
+    #: dense-path application is one matmul — half the flops of the masked
+    #: blocked trisolve and no sequential block loop. 'trisolve' keeps the
+    #: LU factors. See SubstructuredLU.apply_mode.
+    factor_apply: str = "trisolve"
     dense_operators: bool | None = None  # mass/lvel applies as dense matmuls
     trisolve: str = "xla"  # 'xla' (blocked matmuls) | 'pallas' (fused kernel)
     block_lu_bs: int = 1024
@@ -189,6 +200,7 @@ class Stepper:
                 self._solver_kinds.append("borrowed")
                 continue
             if self.backend == "dense_lu":
+                store_dt = jnp.bfloat16 if self.factor_dtype == "bf16" else None
                 # factor ON DEVICE (MXU) in the target dtype: a dense f32 LU
                 # of the fixed time-step matrix — O(n^3) once, fast on TPU,
                 # avoids a minutes-long host LAPACK factorization
@@ -200,17 +212,75 @@ class Stepper:
                 else:
                     from flowcontrol_tpu.config import device_hbm_budget_bytes
 
+                    # storage bytes (bf16 halves the resident factor) vs
+                    # factorization bytes (the in-flight factor is always
+                    # computed in `dt` — a bf16 single factor at stock scale
+                    # would still need the f32 intermediate)
+                    sbytes = np.dtype(store_dt if store_dt is not None
+                                      else dt).itemsize
                     fbytes = np.dtype(dt).itemsize
                     n_pad = n + (-n) % self.block_lu_bs
                     budget = device_hbm_budget_bytes() * 0.75
                     if fbytes * n_pad * n_pad <= budget:
-                        from flowcontrol_tpu.solvers.block_lu import BlockLU
+                        from flowcontrol_tpu.solvers.block_lu import (
+                            BlockLU,
+                            block_lu_inverse_t,
+                        )
+                        from flowcontrol_tpu.solvers.factor_cache import (
+                            load as fc_load,
+                            matrix_key as fc_key,
+                            save as fc_save,
+                        )
 
-                        # one dense factor fits: densify + factor on device
-                        # (ships O(nnz) triplets, not the n^2 matrix)
-                        blu = BlockLU(a_bc, bs=self.block_lu_bs, dtype=dt)
-                        self._solver_kinds.append("block")
-                        dev["solvers"].append((blu.lu, blu.dinv))
+                        sb = np.dtype(store_dt or dt)
+                        # explicit inverse needs lu + inv resident during
+                        # inversion: guard on twice the single-factor size
+                        use_inv = (
+                            self.factor_apply == "inverse"
+                            and (fbytes + sb.itemsize) * n_pad * n_pad
+                            <= budget
+                        )
+                        if use_inv:
+                            ikey = fc_key(a_bc, "blockinv-v3",
+                                          self.block_lu_bs,
+                                          np.dtype(dt).name, sb.name)
+                            hit = fc_load(ikey)
+                            if hit is not None and hit["inv"].shape == (n, n):
+                                inv = jnp.asarray(hit["inv"], dtype=sb)
+                            else:
+                                blu = BlockLU(a_bc, bs=self.block_lu_bs,
+                                              dtype=dt)
+                                from flowcontrol_tpu.solvers.substructure import (
+                                    _newton_schulz_t,
+                                )
+
+                                inv = block_lu_inverse_t(
+                                    (blu.lu, blu.dinv), n=n,
+                                    bs=self.block_lu_bs,
+                                    dtype=np.float32,
+                                )
+                                del blu
+                                inv = _newton_schulz_t(
+                                    a_bc, inv, dtype=dt
+                                ).astype(sb)
+                                jax.block_until_ready(inv)
+                                fc_save(
+                                    ikey,
+                                    inv=np.asarray(
+                                        inv,
+                                        dtype=sb if sb.kind == "f"
+                                        else np.float32,
+                                    ),
+                                )
+                            self._solver_kinds.append("block_inv")
+                            dev["solvers"].append((inv,))
+                        else:
+                            # one dense factor fits: densify + factor on
+                            # device (ships O(nnz) triplets, not n^2)
+                            blu = BlockLU(a_bc, bs=self.block_lu_bs, dtype=dt,
+                                          store_dtype=store_dt)
+                            self._solver_kinds.append("block")
+                            dev["solvers"].append((blu.lu, blu.dinv))
                     else:
                         # past the single-factor ceiling: substructured
                         # block-elimination (k interior factors of ~(n/k)^2
@@ -223,13 +293,23 @@ class Stepper:
                             SubstructuredLU,
                         )
 
-                        k_blocks = max(
-                            2, int(np.ceil(fbytes * n_pad * n_pad / (0.5 * budget)))
+                        # memory lower bound on k ...
+                        k_mem = int(
+                            np.ceil(sbytes * n_pad * n_pad / (0.5 * budget))
                         )
+                        # ... but fewer blocks is NOT faster: total factor
+                        # area = k*(n/k)^2 + coupling ~ 2*n*cut*(k-1), and
+                        # d/dk = 0 gives k_opt ~ sqrt(n/(2*cut)) with cut ~
+                        # 1000 dofs/strip-cut on these 2D meshes. bf16's
+                        # halved footprint must not halve k (measured: k=3
+                        # at stock is 1.5x more flops than k=5).
+                        k_opt = int(round(np.sqrt(n / 2000.0)))
+                        k_blocks = max(2, k_mem, k_opt)
                         slu = SubstructuredLU(
                             a_bc, mixed_dof_coordinates(space),
                             n_blocks=k_blocks, bs=min(self.block_lu_bs, 512),
-                            dtype=dt,
+                            dtype=dt, store_dtype=store_dt,
+                            apply_mode=self.factor_apply,
                         )
                         self._solver_kinds.append("schur")
                         self._schur_static[len(dev["solvers"])] = slu.static()
@@ -241,7 +321,13 @@ class Stepper:
                 # (the reference's stock cylinder mesh O1) on one 16GB chip
                 refine = self.refine_steps
                 if refine is None:
-                    refine = 1 if dt == np.float32 else 0
+                    # bf16-rounded factors contract ~1.5e-2 per sweep: two
+                    # sweeps reach the f32-factor accuracy class
+                    refine = (
+                        2 if store_dt is not None
+                        else 1 if dt == np.float32
+                        else 0
+                    )
                 if refine:
                     use_dense_refine = (
                         self.dense_operators
@@ -406,6 +492,9 @@ class Stepper:
     def _dense_solve_once(self, dev, oi, rhs):
         if self._solver_kinds[oi] == "lapack":
             return dense_lu_solve(dev["solvers"][oi], rhs)
+        if self._solver_kinds[oi] == "block_inv":
+            (inv,) = dev["solvers"][oi]
+            return (rhs.astype(inv.dtype) @ inv).astype(rhs.dtype)
         if self._solver_kinds[oi] == "schur":
             from flowcontrol_tpu.solvers.substructure import substructured_solve
 

@@ -75,3 +75,63 @@ def test_substructured_solve_batched(bdf2_system):
     for i in range(3):
         for j in range(5):
             assert np.allclose(x[i, j], lu.solve(b[i, j]), rtol=1e-9, atol=1e-11)
+
+
+def test_substructured_solve_bf16_factor_with_refinement(bdf2_system):
+    """bf16-ROUNDED factors (factorization still f64/f32) act as a
+    preconditioner that contracts ~1.5e-2 per Richardson sweep; two sweeps
+    reach the f32-factor accuracy class. This is the batched-throughput
+    storage mode (Stepper factor_dtype='bf16')."""
+    import scipy.sparse.linalg as spla
+
+    a_bc, coords = bdf2_system
+    slu = SubstructuredLU(a_bc, coords, n_blocks=2, bs=256,
+                          dtype=jax.numpy.float64,
+                          store_dtype=jax.numpy.bfloat16)
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(a_bc.shape[0])
+    x_ref = spla.splu(a_bc.tocsc()).solve(b)
+
+    x = np.asarray(slu.solve(b), dtype=np.float64)
+    raw = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert raw < 0.05, raw  # rounded factor alone: percent-level
+
+    for sweeps in range(2):  # Richardson refinement against the exact A
+        r = b - a_bc @ x
+        x = x + np.asarray(slu.solve(r), dtype=np.float64)
+    refined = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
+    assert refined < 3e-5, refined
+    # output dtype follows the rhs, not the storage
+    assert np.asarray(slu.solve(b)).dtype == np.float64
+
+
+@pytest.mark.parametrize("store", [None, "bf16"])
+def test_substructured_inverse_mode(bdf2_system, store, tmp_path, monkeypatch):
+    """apply_mode='inverse' (explicit block inverses, pure-matmul apply)
+    matches splu; bf16-stored inverses refine to the f32 class."""
+    import scipy.sparse.linalg as spla
+
+    monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
+    a_bc, coords = bdf2_system
+    sd = jax.numpy.bfloat16 if store == "bf16" else None
+    slu = SubstructuredLU(a_bc, coords, n_blocks=2, bs=256,
+                          dtype=jax.numpy.float64, store_dtype=sd,
+                          apply_mode="inverse")
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(a_bc.shape[0])
+    x_ref = spla.splu(a_bc.tocsc()).solve(b)
+    x = np.asarray(slu.solve(b), dtype=np.float64)
+    if store is None:
+        assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-8
+    else:
+        for _ in range(2):
+            r = b - a_bc @ x
+            x = x + np.asarray(slu.solve(r), dtype=np.float64)
+        assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 3e-5
+    # warm path: the cached inverse reproduces the same solve
+    slu2 = SubstructuredLU(a_bc, coords, n_blocks=2, bs=256,
+                           dtype=jax.numpy.float64, store_dtype=sd,
+                           apply_mode="inverse")
+    x2 = np.asarray(slu2.solve(b), dtype=np.float64)
+    x1 = np.asarray(slu.solve(b), dtype=np.float64)
+    assert np.allclose(x1, x2, rtol=1e-5, atol=1e-8)

@@ -1,5 +1,5 @@
 """Stock-mesh trajectory parity: TPU schur-f32 vs host splu-f64, 10 steps."""
-import sys, time
+import os, sys, time
 import numpy as np
 from pathlib import Path
 
@@ -14,6 +14,11 @@ def run(backend, precision):
         Re=100, meshpath=O1, num_steps=10, save_every=0,
         path_out=Path(f"/tmp/sfv_{backend}"), verbose=0,
         solver_backend=backend, precision=precision,
+        stepper_options=(
+            {"factor_apply": os.environ["STOCK_FACTOR_APPLY"]}
+            if backend == "dense_lu" and os.environ.get("STOCK_FACTOR_APPLY")
+            else {}
+        ),
     )
     fs._assign_steady_state(d["U0"], d["P0"])
     fs.initialize_time_stepping(ic=None)

@@ -13,10 +13,17 @@ from flowcontrol_tpu.models.cylinder import CylinderFlowSolver
 
 O1 = "/root/reference/src/examples/cylinder/data_input/O1.xdmf"
 t0 = time.time()
+import os
+stepper_options = {}
+if os.environ.get("STOCK_FACTOR_DTYPE"):
+    stepper_options["factor_dtype"] = os.environ["STOCK_FACTOR_DTYPE"]
+if os.environ.get("STOCK_FACTOR_APPLY"):
+    stepper_options["factor_apply"] = os.environ["STOCK_FACTOR_APPLY"]
 fs = CylinderFlowSolver.make_default(
     Re=100, meshpath=O1, num_steps=50, save_every=0,
     path_out=Path("/tmp/stock_cl"), verbose=0,
     solver_backend="dense_lu", precision="f32",
+    stepper_options=stepper_options,
 )
 fs.load_steady_state()
 fs.initialize_time_stepping(ic=None)
