@@ -122,6 +122,11 @@ class SubstructuredLU:
         self.n_blocks = n_blocks
         t_part = time.time()
         interiors, iface = partition_dofs(a_csr, coords, n_blocks)
+        # NOTE: np.where gives each set ascending dof order, which already
+        # places pressure dofs (highest indices) after velocity within every
+        # block — the stable order for the no-pivot elimination. (Verified:
+        # an explicit velocity-first regrouping reproduces bit-identical
+        # factors.)
         logger.info("substructure: partition %.1fs", time.time() - t_part)
         if not all(len(i) for i in interiors):
             raise ValueError("empty interior block — reduce n_blocks")
