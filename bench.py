@@ -36,9 +36,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import numpy as np
 
 BENCH_STEPS = int(os.environ.get("BENCH_STEPS", "400"))
-#: 0 = auto: 512 on the 14.7k generated mesh; 256 at stock 56k (B=512 state
-#: + gather workspace exceeds the ~8GB single-chip HBM next to the 4GB of
-#: substructured factors)
+#: 0 = auto (512): with rollouts no longer stacking per-step state, B=512
+#: fits at stock 56k next to the substructured factors
 BENCH_BATCH = int(os.environ.get("BENCH_BATCH", "0"))
 BENCH_BATCH_STEPS = int(os.environ.get("BENCH_BATCH_STEPS", "100"))
 CPU_STEPS = int(os.environ.get("BENCH_CPU_STEPS", "20"))
@@ -211,7 +210,7 @@ def main():
     stock = BENCH_MESH == "stock" and STOCK_MESH.exists() and on_accel
     global BENCH_BATCH
     if BENCH_BATCH == 0:
-        BENCH_BATCH = 256 if stock else 512
+        BENCH_BATCH = 512
     fs = build_solver(backend, precision, stock=stock)
     print(
         f"# mesh: {'stock O1' if stock else 'generated'}, "

@@ -201,6 +201,7 @@ class Stepper:
                 continue
             if self.backend == "dense_lu":
                 store_dt = jnp.bfloat16 if self.factor_dtype == "bf16" else None
+                factor_promoted = False  # f64-computed, f32-stored factors
                 # factor ON DEVICE (MXU) in the target dtype: a dense f32 LU
                 # of the fixed time-step matrix — O(n^3) once, fast on TPU,
                 # avoids a minutes-long host LAPACK factorization
@@ -276,9 +277,22 @@ class Stepper:
                             dev["solvers"].append((inv,))
                         else:
                             # one dense factor fits: densify + factor on
-                            # device (ships O(nnz) triplets, not n^2)
-                            blu = BlockLU(a_bc, bs=self.block_lu_bs, dtype=dt,
-                                          store_dtype=store_dt)
+                            # device (ships O(nnz) triplets, not n^2).
+                            # Factor in f64 when the 8B intermediate fits —
+                            # the stored-f32 rounding of a good factor
+                            # solves ~3000x more accurately than a factor
+                            # ELIMINATED in f32 (measured at 56k: raw
+                            # residual 1.1e-4 vs 0.34)
+                            factor_dt, store = dt, store_dt
+                            if (
+                                np.dtype(dt) == np.float32
+                                and 8 * n_pad * n_pad <= 0.5 * budget
+                            ):
+                                factor_dt = jnp.float64
+                                store = store_dt or jnp.float32
+                                factor_promoted = True
+                            blu = BlockLU(a_bc, bs=self.block_lu_bs,
+                                          dtype=factor_dt, store_dtype=store)
                             self._solver_kinds.append("block")
                             dev["solvers"].append((blu.lu, blu.dinv))
                     else:
@@ -305,10 +319,21 @@ class Stepper:
                         # at stock is 1.5x more flops than k=5).
                         k_opt = int(round(np.sqrt(n / 2000.0)))
                         k_blocks = max(2, k_mem, k_opt)
+                        # factor blocks in f64 (one 8B n_imax^2 intermediate
+                        # at a time), store in f32/bf16: the rounding of a
+                        # good factor costs ~1e-7 solve accuracy while f32
+                        # ELIMINATION at ~11k-dof blocks costs percent-level
+                        # (measured at stock: raw residual 1.1e-4 vs 0.34,
+                        # one refinement sweep 1.9e-11 vs 4.3e-3)
+                        factor_dt, store = dt, store_dt
+                        if np.dtype(dt) == np.float32:
+                            factor_dt = jnp.float64
+                            store = store_dt or jnp.float32
+                            factor_promoted = True
                         slu = SubstructuredLU(
                             a_bc, mixed_dof_coordinates(space),
                             n_blocks=k_blocks, bs=min(self.block_lu_bs, 512),
-                            dtype=dt, store_dtype=store_dt,
+                            dtype=factor_dt, store_dtype=store,
                             apply_mode=self.factor_apply,
                         )
                         self._solver_kinds.append("schur")
@@ -322,9 +347,15 @@ class Stepper:
                 refine = self.refine_steps
                 if refine is None:
                     # bf16-rounded factors contract ~1.5e-2 per sweep: two
-                    # sweeps reach the f32-factor accuracy class
+                    # sweeps reach the f32-factor accuracy class. f64-
+                    # computed f32-stored factors are rounding-limited
+                    # (solve residual ~1e-4 at stock) and need NO sweep for
+                    # trajectory accuracy (measured: field err 2.2e-4 with
+                    # 0 sweeps vs 1.8e-4 with 1) — halving the per-step
+                    # factor applications.
                     refine = (
                         2 if store_dt is not None
+                        else 0 if factor_promoted
                         else 1 if dt == np.float32
                         else 0
                     )

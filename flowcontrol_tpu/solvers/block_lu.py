@@ -61,6 +61,19 @@ def _block_lu_inplace(a, bs: int):
     return _block_lu_body(a, bs)
 
 
+def _diag_block_inv(akk):
+    """Pivot-block inverse. TPU backends implement LuDecomposition only in
+    f32/c64, so an f64 factorization (used to build rounding-limited f32
+    factors) computes the inverse in f32 and polishes it to f64 with two
+    Newton-Schulz iterations (emulated-f64 matmuls, one-time cost)."""
+    if akk.dtype == jnp.float64 and jax.default_backend() not in ("cpu",):
+        v = jnp.linalg.inv(akk.astype(jnp.float32)).astype(jnp.float64)
+        for _ in range(2):
+            v = 2.0 * v - v @ (akk @ v)
+        return v
+    return jnp.linalg.inv(akk)
+
+
 def _block_lu_body(a, bs: int):
     """Right-looking blocked LU. Returns (lu, diag_inv).
 
@@ -74,7 +87,7 @@ def _block_lu_body(a, bs: int):
         a, dinv = state
         r = k * bs
         akk = jax.lax.dynamic_slice(a, (r, r), (bs, bs))
-        akk_inv = jnp.linalg.inv(akk)
+        akk_inv = _diag_block_inv(akk)
         dinv = jax.lax.dynamic_update_slice(dinv, akk_inv[None], (k, 0, 0))
         # panel below diag: L = A[r+bs:, r:r+bs] @ akk_inv — computed for the
         # full column (rows above r are multiplied but discarded via masking)

@@ -15,9 +15,18 @@ def run(backend, precision):
         path_out=Path(f"/tmp/sfv_{backend}"), verbose=0,
         solver_backend=backend, precision=precision,
         stepper_options=(
-            {"factor_apply": os.environ["STOCK_FACTOR_APPLY"]}
-            if backend == "dense_lu" and os.environ.get("STOCK_FACTOR_APPLY")
-            else {}
+            {
+                k: v
+                for k, v in {
+                    "factor_apply": os.environ.get("STOCK_FACTOR_APPLY"),
+                    "refine_steps": (
+                        int(os.environ["STOCK_REFINE"])
+                        if os.environ.get("STOCK_REFINE") else None
+                    ),
+                }.items()
+                if v is not None and v != ""
+            }
+            if backend == "dense_lu" else {}
         ),
     )
     fs._assign_steady_state(d["U0"], d["P0"])

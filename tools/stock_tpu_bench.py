@@ -17,6 +17,8 @@ import os
 stepper_options = {}
 if os.environ.get("STOCK_FACTOR_DTYPE"):
     stepper_options["factor_dtype"] = os.environ["STOCK_FACTOR_DTYPE"]
+if os.environ.get("STOCK_REFINE"):
+    stepper_options["refine_steps"] = int(os.environ["STOCK_REFINE"])
 if os.environ.get("STOCK_FACTOR_APPLY"):
     stepper_options["factor_apply"] = os.environ["STOCK_FACTOR_APPLY"]
 fs = CylinderFlowSolver.make_default(
