@@ -235,23 +235,29 @@ def main():
     for key in ("batched", "closed"):
         if res[key]:
             value = max(value, res[key])
-    print(
-        json.dumps(
-            {
-                "metric": "cylinder_re100_steps_per_sec",
-                "value": round(value, 1),
-                "unit": (
-                    f"steps/s (n_dofs={fs.space.n_dofs}, dt=0.005, BDF2+AB2, "
-                    f"single={res['single']:.1f}/s, "
-                    f"batched_B{BENCH_BATCH}={res['batched'] and round(res['batched'])}/s agg, "
-                    f"closed_B256={res['closed'] and round(res['closed'])}/s agg, "
-                    f"setup_compile={res['compile_s']:.0f}s, "
-                    f"cpu_same_mesh={cpu_sps:.1f}/s)"
-                ),
-                "vs_baseline": round(value / cpu_sps, 1),
-            }
-        )
-    )
+    out = {
+        "metric": "cylinder_re100_steps_per_sec",
+        "value": round(value, 1),
+        "unit": (
+            f"agg steps/s, best mode (n_dofs={fs.space.n_dofs}, dt=0.005, "
+            f"BDF2+AB2, cpu_same_mesh={cpu_sps:.1f}/s)"
+        ),
+        "vs_baseline": round(value / cpu_sps, 1),
+        # first-class per-mode numbers (the single-stream figure is the mode
+        # the reference's own workflows run; batched is the synthesis mode)
+        "single_steps_per_sec": round(res["single"], 1),
+        "single_vs_cpu": round(res["single"] / cpu_sps, 1),
+        "batched_agg_steps_per_sec": res["batched"] and round(res["batched"], 1),
+        "batched_B": BENCH_BATCH,
+        "closed_loop_agg_steps_per_sec": res["closed"] and round(res["closed"], 1),
+        "closed_loop_B": 256,
+        "setup_compile_s": round(res["compile_s"], 1),
+        "cpu_steps_per_sec": round(cpu_sps, 2),
+        "n_dofs": fs.space.n_dofs,
+    }
+    if res.get("cavity") is not None:
+        out["cavity_235k"] = res["cavity"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

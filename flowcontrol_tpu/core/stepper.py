@@ -64,13 +64,14 @@ class StepOutput(NamedTuple):
 def _rollout_body(step, with_state: bool):
     """Scan body for open-loop rollouts: (dev, carry, u) -> (carry', out).
 
-    with_state=False replaces out.x with a 0-d placeholder so the scan does
-    not stack the full state every step (T*B*n floats)."""
+    with_state=False replaces out.x with None (an empty pytree leaf) so the
+    scan does not stack the full state every step (T*B*n floats) — and so a
+    stale caller reading outs.x fails loudly instead of reading zeros."""
 
     def body(dev, c, u):
         c2, out = step(dev, c, u)
         if not with_state:
-            out = out._replace(x=jnp.zeros((), dtype=out.x.dtype))
+            out = out._replace(x=None)
         return c2, out
 
     return body
@@ -153,8 +154,12 @@ class Stepper:
         dev["lift_act"] = []
         dev["lift_static"] = []
         dev["lhs_e"] = []
-        dev["a_dense"] = []
-        dev["a_bc_e"] = []
+        # refinement/borrow matvec operands, keyed by ORDER INDEX (a list
+        # would silently misalign when entries are appended conditionally
+        # per order — e.g. dense_operators=True at n > DENSE_TWO_FACTOR_MAX_N
+        # would pair order-1 refinement with the order-2 operator)
+        dev["a_dense"] = {}
+        dev["a_bc_e"] = {}
         self._solver_kinds: list = []
         self._schur_static: dict = {}
         self._refine = 0
@@ -190,11 +195,9 @@ class Stepper:
                 # no factor for BDF1: keep only the BC-masked element tensors
                 # for the Richardson matvec against A1
                 bc_mask_e = free_mask[space.cell_dofs]
-                dev["a_bc_e"].append(
-                    jnp.asarray(
-                        lhs_e * bc_mask_e[:, :, None] * bc_mask_e[:, None, :],
-                        dtype=dt,
-                    )
+                dev["a_bc_e"][self._order_idx[order]] = jnp.asarray(
+                    lhs_e * bc_mask_e[:, :, None] * bc_mask_e[:, None, :],
+                    dtype=dt,
                 )
                 dev["solvers"].append(())
                 self._solver_kinds.append("borrowed")
@@ -235,10 +238,13 @@ class Stepper:
 
                         sb = np.dtype(store_dt or dt)
                         # explicit inverse needs lu + inv resident during
-                        # inversion: guard on twice the single-factor size
+                        # inversion, and the Newton-Schulz polish then holds
+                        # a densified A plus v2 / a@v temporaries (~2 more
+                        # n_pad^2 buffers in the factorization dtype) — guard
+                        # on the polish's transient peak, not just lu + inv
                         use_inv = (
                             self.factor_apply == "inverse"
-                            and (fbytes + sb.itemsize) * n_pad * n_pad
+                            and (3 * fbytes + sb.itemsize) * n_pad * n_pad
                             <= budget
                         )
                         if use_inv:
@@ -366,18 +372,16 @@ class Stepper:
                         else n <= 20_000
                     )
                     if use_dense_refine:
-                        dev["a_dense"].append(
-                            jnp.asarray(np.asarray(a_bc.todense()), dtype=dt)
+                        dev["a_dense"][self._order_idx[order]] = jnp.asarray(
+                            np.asarray(a_bc.todense()), dtype=dt
                         )
                     else:
                         bc_mask_e = free_mask[space.cell_dofs]
-                        dev["a_bc_e"].append(
-                            jnp.asarray(
-                                lhs_e
-                                * bc_mask_e[:, :, None]
-                                * bc_mask_e[:, None, :],
-                                dtype=dt,
-                            )
+                        dev["a_bc_e"][self._order_idx[order]] = jnp.asarray(
+                            lhs_e
+                            * bc_mask_e[:, :, None]
+                            * bc_mask_e[:, None, :],
+                            dtype=dt,
                         )
                 self._refine = refine
             elif self.backend in ("gmres", "bicgstab"):
@@ -550,7 +554,7 @@ class Stepper:
         resident, else BC-masked element-tensor apply (A_bc has exact 1.0
         diagonal at constrained dofs, so setting those rows to x recovers
         the identity block)."""
-        if dev["a_dense"]:
+        if oi in dev["a_dense"]:
             return x @ dev["a_dense"][oi].T
         y = apply_element_tensors_gather(
             dev["a_bc_e"][oi], self._cell_dofs, dev["gt_mixed"], x,

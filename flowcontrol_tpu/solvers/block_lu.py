@@ -101,12 +101,23 @@ def _block_lu_body(a, bs: int):
         a = jax.lax.dynamic_update_slice(a, new_col, (0, r))
         # trailing update: A -= L_col @ U_row (U_row = rows r..r+bs, cols all;
         # columns left of r+bs are already finalized and L_col is zero above,
-        # so masking the row block to cols >= r+bs keeps them intact)
-        u_row = jax.lax.dynamic_slice(a, (r, 0), (bs, n))  # (bs, n)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-        right = col_ids >= (r + bs)
-        u_row_masked = jnp.where(right, u_row, 0.0)
-        a = a - l_col @ u_row_masked
+        # so masking the row block to cols >= r+bs keeps them intact).
+        # Column-tiled: the full-width (n, bs) @ (bs, n) form makes XLA's
+        # emulated-f64 matmul materialize several full n^2 intermediates at
+        # once (measured 23 GB at n=15k, bs=1024 — a compile-time OOM);
+        # per-tile temps stay at O(n * bs). Reading the U tile from the
+        # partially-updated matrix is safe: l_col is zero on rows <= r+bs,
+        # so the U rows are never modified by this update.
+        def inner(t, a):
+            c0 = t * bs
+            u_tile = jax.lax.dynamic_slice(a, (r, c0), (bs, bs))
+            tile_cols = c0 + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+            u_tile = jnp.where(tile_cols >= (r + bs), u_tile, 0.0)
+            a_tile = jax.lax.dynamic_slice(a, (0, c0), (n, bs))
+            a_tile = a_tile - l_col @ u_tile
+            return jax.lax.dynamic_update_slice(a, a_tile, (0, c0))
+
+        a = jax.lax.fori_loop(0, n // bs, inner, a)
         return a, dinv
 
     dinv0 = jnp.zeros((nb, bs, bs), dtype=a.dtype)

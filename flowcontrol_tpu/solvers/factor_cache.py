@@ -10,7 +10,10 @@ hash of the BC-eliminated matrix plus the factorization parameters, so a
 restarted campaign on the same mesh/dt warm-starts in seconds.
 
 Cache location: ``FLOWCONTROL_TPU_FACTOR_CACHE`` (``off`` disables),
-default ``~/.cache/flowcontrol_tpu/factors``.
+default ``~/.cache/flowcontrol_tpu/factors``. Total size is capped
+(LRU by mtime; ``FLOWCONTROL_TPU_FACTOR_CACHE_GB``, default 20): entries
+at production scale run to GBs each, and an uncapped cache fills a disk
+in a week of mesh experiments.
 """
 
 from __future__ import annotations
@@ -55,6 +58,35 @@ def matrix_key(a_csr, *extras) -> str:
     return h.hexdigest()[:24]
 
 
+def cache_cap_bytes() -> int:
+    gb = float(os.environ.get("FLOWCONTROL_TPU_FACTOR_CACHE_GB", "20"))
+    return int(gb * 2**30)
+
+
+def _enforce_cap(d: Path) -> None:
+    """Evict oldest-touched entries until the cache fits the size cap."""
+    try:
+        entries = sorted(
+            ((f.stat().st_mtime, f.stat().st_size, f) for f in d.glob("*.npz")),
+            reverse=True,  # newest first
+        )
+    except OSError:
+        return
+    cap = cache_cap_bytes()
+    total = 0
+    for mtime, size, f in entries:
+        total += size
+        if total > cap:
+            try:
+                f.unlink()
+                logger.info(
+                    "factor cache evict (%.1f GB over %.0f GB cap): %s",
+                    total / 2**30, cap / 2**30, f,
+                )
+            except OSError:
+                pass
+
+
 def load(key: str) -> dict | None:
     d = cache_dir()
     if d is None:
@@ -65,6 +97,7 @@ def load(key: str) -> dict | None:
     try:
         with np.load(f) as z:
             out = {k: z[k] for k in z.files}
+        f.touch()  # mark recently-used for LRU eviction
         logger.info("factor cache hit: %s", f)
         return out
     except Exception:  # truncated/corrupt entry: treat as miss
@@ -84,6 +117,7 @@ def save(key: str, **arrays: np.ndarray) -> None:
             np.savez(fh, **arrays)
         os.replace(tmp, f)
         logger.info("factor cache store: %s", f)
+        _enforce_cap(d)
     except OSError:
         try:
             os.unlink(tmp)

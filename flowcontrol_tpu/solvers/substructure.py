@@ -56,17 +56,24 @@ def partition_dofs(a_csr, coords: np.ndarray, n_blocks: int):
     strip[order] = np.arange(n) // (-(-n // n_blocks))
     g = (a_csr != 0) + (a_csr != 0).T  # symmetrized coupling pattern
     g = g.tocsr()
+
+    def _row_counts(flags: np.ndarray, ptr: np.ndarray) -> np.ndarray:
+        """Per-row sums of ``flags`` given CSR row pointers; robust to empty
+        rows anywhere (reduceat raises if a start index == len(flags))."""
+        if not len(flags):
+            return np.zeros(len(ptr) - 1, dtype=np.int64)
+        counts = np.add.reduceat(
+            flags.astype(np.int64), np.minimum(ptr[:-1], len(flags) - 1)
+        )
+        counts[np.diff(ptr) == 0] = 0
+        return counts
+
     interface = np.zeros(n, dtype=bool)
     for d in range(n_blocks - 1):
         # dofs of strip d coupled to strips > d (and vice versa)
         left = np.where(strip == d)[0]
         sub = g[left]
-        cols = sub.indices
-        ptr = sub.indptr
-        crosses = np.add.reduceat(
-            (strip[cols] > d).astype(np.int8), ptr[:-1]
-        ) if len(cols) else np.zeros(len(left), dtype=np.int8)
-        crosses[np.diff(ptr) == 0] = 0
+        crosses = _row_counts(strip[sub.indices] > d, sub.indptr)
         interface[left[crosses > 0]] = True
     # the matched partners on the right side of each cut
     gi = g[interface]
@@ -76,14 +83,8 @@ def partition_dofs(a_csr, coords: np.ndarray, n_blocks: int):
     for d in range(n_blocks - 1):
         right = partners[(strip[partners] == d + 1)]
         sub = g[right]
-        cols = sub.indices
-        ptr = sub.indptr
-        if len(cols):
-            crosses = np.add.reduceat(
-                (strip[cols] <= d).astype(np.int8), ptr[:-1]
-            )
-            crosses[np.diff(ptr) == 0] = 0
-            interface[right[crosses > 0]] = True
+        crosses = _row_counts(strip[sub.indices] <= d, sub.indptr)
+        interface[right[crosses > 0]] = True
     interiors = [
         np.where((strip == d) & ~interface)[0] for d in range(n_blocks)
     ]
@@ -152,9 +153,17 @@ class SubstructuredLU:
         from flowcontrol_tpu.solvers.factor_cache import load, matrix_key, save
 
         # the cached Schur complement is dtype-independent (host f64), but
-        # key on the factor params anyway so concurrent configs don't race
+        # key on the factor params anyway so concurrent configs don't race.
+        # The coords digest matters: partition_dofs is coordinate-driven, so
+        # identical matrices with different dof coordinates must not collide.
+        import hashlib
+
+        coords_digest = hashlib.sha256(
+            np.ascontiguousarray(coords).tobytes()
+        ).hexdigest()[:16]
         key = matrix_key(
-            a_csr, "schur-v1", n_blocks, bs, np.dtype(dtype).name
+            a_csr, "schur-v2", n_blocks, bs, np.dtype(dtype).name,
+            coords_digest,
         )
         cached = load(key)
         schur_hit = (
@@ -166,8 +175,8 @@ class SubstructuredLU:
         inv_cached = None
         if apply_mode == "inverse":
             ikey = matrix_key(
-                a_csr, "inv-v3", n_blocks, bs, np.dtype(dtype).name,
-                np_store.name,
+                a_csr, "inv-v4", n_blocks, bs, np.dtype(dtype).name,
+                np_store.name, coords_digest,
             )
             inv_cached = load(ikey)
             if inv_cached is not None and (

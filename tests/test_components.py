@@ -261,6 +261,32 @@ def test_minimize_pop_batched():
     assert np.allclose(res.x, 1.5, atol=0.2)
 
 
+def test_minimize_dfo_builtin_quadratic():
+    """'dfo' must be a live path without blackbox_opt (built-in fallback)."""
+    from flowcontrol_tpu.utils.optim_algs import minimize
+
+    res = minimize(lambda x: ((x - 0.7) ** 2).sum() + 1.0, np.zeros(2),
+                   "dfo", {"maxfev": 500}, verbose=False)
+    assert res.success
+    assert np.allclose(res.x, 0.7, atol=5e-3)
+    assert res.fun < 1.0 + 1e-4
+
+
+def test_minimize_bo_builtin_quadratic():
+    """'bo' must be a live path without smt (built-in GP-EI fallback)."""
+    from flowcontrol_tpu.utils.optim_algs import minimize
+
+    res = minimize(
+        lambda x: ((x - 0.25) ** 2).sum(), np.array([0.8]), "bo",
+        {"n_iter": 15, "n_doe": 6, "xlimits": [[0.0, 1.0]],
+         "random_state": 0},
+        verbose=False,
+    )
+    assert res.success
+    assert res.fun < 0.02
+    assert res.nfev == 6 + 15
+
+
 def test_optim_helpers():
     from flowcontrol_tpu.utils.optim import (
         compute_control_cost,
