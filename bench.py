@@ -197,6 +197,107 @@ def bench_tpu(fs) -> dict:
     }
 
 
+def bench_cavity(platform: str) -> dict | None:
+    """Stock-cavity leg (Re=7500, dt=4e-4, 235k dofs): the reference's
+    stiffest flagship, solved there by MUMPS (ref: flowsolver.py:812-814).
+    TPU path: nested-dissection batched multifrontal. Reports single-stream
+    + batched throughput and the same-mesh splu baseline."""
+    mesh = Path("/root/reference/src/examples/cavity/data_input/cavity_coarse.xdmf")
+    steady = Path("/tmp/stock_cavity/steady")
+    if platform not in ("tpu", "axon") or not mesh.exists():
+        return None
+    import time as _t
+
+    import scipy.sparse.linalg as spla
+
+    from flowcontrol_tpu.fem.assembly import to_scipy_csr
+    from flowcontrol_tpu.models.cavity import CavityFlowSolver
+
+    steps = int(os.environ.get("BENCH_CAVITY_STEPS", "50"))
+    batch = int(os.environ.get("BENCH_CAVITY_BATCH", "16"))
+    fs = CavityFlowSolver.make_default(
+        Re=7500, meshpath=mesh, num_steps=max(steps, 10), save_every=0,
+        path_out=Path("/tmp/stock_cavity"), verbose=0,
+        solver_backend="dense_lu", precision="f32",
+    )
+    try:
+        fs.load_steady_state()
+    except Exception:
+        fs.compute_steady_state(method="picard", max_iter=10, tol=1e-7,
+                                u_ctrl=[0.0])
+        fs.compute_steady_state(method="newton", max_iter=10, u_ctrl=[0.0],
+                                initial_guess=fs.fields.UP0)
+    t0 = _t.time()
+    fs.initialize_time_stepping()
+    fs.order = 2
+    fs._prepare_systems()
+    fs.first_step = False
+    prepare_s = _t.time() - t0
+    st = fs._stepper
+    roll = st.make_rollout_open_loop()
+    u_seq = np.zeros((steps, st.n_act), dtype=st.dtype)
+    _, outs = roll(fs._carry, u_seq)
+    _ = np.asarray(outs.y)
+    t0 = _t.time()
+    _, outs = roll(fs._carry, u_seq)
+    _ = np.asarray(outs.y)
+    single = steps / (_t.time() - t0)
+    assert np.isfinite(np.asarray(outs.dE)).all(), "cavity diverged"
+    batched = None
+    try:
+        import jax.numpy as jnp
+
+        up_b = np.asarray(fs._carry.u_n)[None, :].repeat(batch, 0)
+        carry_b = st.init_carry(jnp.asarray(up_b, dtype=st.dtype))
+        useq_b = np.zeros((steps, batch, st.n_act), dtype=st.dtype)
+        _, outs_b = roll(carry_b, useq_b)
+        _ = np.asarray(outs_b.y)
+        t0 = _t.time()
+        _, outs_b = roll(carry_b, useq_b)
+        _ = np.asarray(outs_b.y)
+        batched = round(steps * batch / (_t.time() - t0), 1)
+    except Exception as e:
+        print(f"# cavity batched leg skipped: {e}", file=sys.stderr)
+    # same-mesh CPU baseline: splu factor + backsolve steps (factor time
+    # excluded, matching the cylinder leg's convention)
+    bcs = fs._bcset_perturbation()
+    lhs_e = fs.forms.transient_lhs(2, fs.fields.U0)
+    a_bc, _ = bcs.eliminate_csr(
+        to_scipy_csr(lhs_e, fs.space.cell_dofs, fs.space.n_dofs)
+    )
+    mass = to_scipy_csr(fs.forms.mass_elements(), fs.space.cell_dofs,
+                        fs.space.n_dofs)
+    lu = spla.splu(a_bc.tocsc())
+    rng = np.random.default_rng(0)
+    u_n = 1e-3 * rng.standard_normal(fs.space.n_dofs)
+    u_nn = u_n.copy()
+    dt = fs.params_time.dt
+    t0 = _t.time()
+    from flowcontrol_tpu.fem.assembly import nonlinear_convection_np
+
+    for _ in range(5):
+        rhs = (2.0 / dt) * (mass @ u_n) - (0.5 / dt) * (mass @ u_nn)
+        rhs = rhs - 2.0 * nonlinear_convection_np(fs.geom, fs.space, u_n)
+        rhs = rhs + nonlinear_convection_np(fs.geom, fs.space, u_nn)
+        rhs[bcs.dofs] = 0.0
+        u_nn, u_n = u_n, lu.solve(rhs)
+    cpu_sps = 5 / (_t.time() - t0)
+    print(
+        f"# cavity 235k: single={single:.1f}/s, batched_B{batch}="
+        f"{batched}/s agg, cpu={cpu_sps:.2f}/s, prepare={prepare_s:.0f}s",
+        file=sys.stderr,
+    )
+    return {
+        "n_dofs": fs.space.n_dofs,
+        "single_steps_per_sec": round(single, 1),
+        "batched_agg_steps_per_sec": batched,
+        "batched_B": batch,
+        "cpu_steps_per_sec": round(cpu_sps, 2),
+        "single_vs_cpu": round(single / cpu_sps, 1),
+        "prepare_s": round(prepare_s, 1),
+    }
+
+
 def main():
     import jax
 
@@ -223,6 +324,12 @@ def main():
     print(f"# cpu baseline (splu, same mesh): {cpu_sps:.2f} steps/s", file=sys.stderr)
 
     res = bench_tpu(fs)
+    if os.environ.get("BENCH_CAVITY", "1") != "0":
+        try:
+            res["cavity"] = bench_cavity(platform)
+        except Exception as e:
+            print(f"# cavity leg failed: {e}", file=sys.stderr)
+            res["cavity"] = None
     print(
         f"# tpu ({platform}, {backend}): {res['single']:.1f} steps/s single, "
         f"{res['batched'] and round(res['batched'])} agg steps/s batched "

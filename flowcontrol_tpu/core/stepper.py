@@ -105,6 +105,14 @@ class Stepper:
     #: blocked trisolve and no sequential block loop. 'trisolve' keeps the
     #: LU factors. See SubstructuredLU.apply_mode.
     factor_apply: str = "trisolve"
+    #: past the single-factor HBM ceiling: 'multifrontal' (default) =
+    #: nested-dissection batched multifrontal with host-f64 factors
+    #: (solvers/multifrontal.py — O(sum sep^2) memory, scales to the 235k
+    #: stock cavity and beyond); 'tridiag' = two-level substructuring with
+    #: block-tridiagonal interface Schur + pivoted per-block inverses
+    #: (solvers/tridiag.py — thin elongated domains); 'dense_iface' = the
+    #: round-2 dense-interface substructuring (solvers/substructure.py)
+    substructure: str = "multifrontal"
     dense_operators: bool | None = None  # mass/lvel applies as dense matmuls
     trisolve: str = "xla"  # 'xla' (blocked matmuls) | 'pallas' (fused kernel)
     block_lu_bs: int = 1024
@@ -301,11 +309,56 @@ class Stepper:
                                           dtype=factor_dt, store_dtype=store)
                             self._solver_kinds.append("block")
                             dev["solvers"].append((blu.lu, blu.dinv))
+                    elif self.substructure == "multifrontal":
+                        # past the single-factor ceiling: nested-dissection
+                        # batched multifrontal — the TPU-native MUMPS
+                        # (ref: flowsolver.py:812-814). Host f64 numeric
+                        # factorization (disk-cached), f32-rounded factors,
+                        # solve = per-tree-depth batched dense matmuls.
+                        from flowcontrol_tpu.parallel.dofsharding import (
+                            mixed_dof_coordinates,
+                        )
+                        from flowcontrol_tpu.solvers.multifrontal import (
+                            MultifrontalLU,
+                        )
+
+                        slu = MultifrontalLU(
+                            a_bc, mixed_dof_coordinates(space),
+                            dtype=dt, store_dtype=store_dt,
+                        )
+                        self._solver_kinds.append("multifrontal")
+                        self._schur_static[len(dev["solvers"])] = slu.static()
+                        dev["solvers"].append(slu.tree())
+                        # host-f64 factors rounded to f32 are the proven
+                        # rounding-limited class: no refinement sweep needed
+                        factor_promoted = np.dtype(dt) == np.float32
+                    elif self.substructure == "tridiag":
+                        # past the single-factor ceiling: two-level
+                        # substructuring with a block-TRIDIAGONAL interface
+                        # Schur — memory ~n^2/k interior inverses + O(k*cut^2)
+                        # interface factors; every apply is one matmul per
+                        # block + a cut-sized tridiagonal sweep. Scales to
+                        # the 235k-dof stock cavity (the reference's MUMPS
+                        # flagship, ref: flowsolver.py:812-814).
+                        from flowcontrol_tpu.parallel.dofsharding import (
+                            mixed_dof_coordinates,
+                        )
+                        from flowcontrol_tpu.solvers.tridiag import (
+                            TridiagSubstructuredLU,
+                        )
+
+                        slu = TridiagSubstructuredLU(
+                            a_bc, mixed_dof_coordinates(space),
+                            dtype=dt, store_dtype=store_dt,
+                        )
+                        self._solver_kinds.append("tridiag")
+                        self._schur_static[len(dev["solvers"])] = slu.static()
+                        dev["solvers"].append(slu.tree())
                     else:
-                        # past the single-factor ceiling: substructured
-                        # block-elimination (k interior factors of ~(n/k)^2
-                        # + dense interface Schur complement) — memory
-                        # ~n^2/k, all solves stay matmuls on the MXU
+                        # 'dense_iface': the round-2 substructured block
+                        # elimination (k interior factors of ~(n/k)^2 +
+                        # dense interface Schur complement) — memory ~n^2/k,
+                        # all solves stay matmuls on the MXU
                         from flowcontrol_tpu.parallel.dofsharding import (
                             mixed_dof_coordinates,
                         )
@@ -530,6 +583,20 @@ class Stepper:
         if self._solver_kinds[oi] == "block_inv":
             (inv,) = dev["solvers"][oi]
             return (rhs.astype(inv.dtype) @ inv).astype(rhs.dtype)
+        if self._solver_kinds[oi] == "multifrontal":
+            from flowcontrol_tpu.solvers.multifrontal import multifrontal_solve
+
+            return multifrontal_solve(
+                dev["solvers"][oi], rhs, **self._schur_static[oi]
+            )
+        if self._solver_kinds[oi] == "tridiag":
+            from flowcontrol_tpu.solvers.tridiag import (
+                tridiag_substructured_solve,
+            )
+
+            return tridiag_substructured_solve(
+                dev["solvers"][oi], rhs, **self._schur_static[oi]
+            )
         if self._solver_kinds[oi] == "schur":
             from flowcontrol_tpu.solvers.substructure import substructured_solve
 

@@ -1,0 +1,555 @@
+"""Batched multifrontal direct solver: nested dissection with dense
+frontal matrices, executed per tree depth as batched MXU matmuls.
+
+This is the TPU-native replacement for MUMPS at production scale — the
+reference factors every time-step matrix with sparse multifrontal LU
+(ref: src/flowcontrol/flowsolver.py:812-814); a TPU has no sparse direct
+solver and 1-D substructuring needs ~4n^2/k + O(k*sep^2) bytes of HBM,
+which exceeds one chip for wide graded meshes (the 235k-dof stock cavity's
+cross-section is ~4k dofs — min over k lands above 11 GB). Nested
+dissection brings factor storage down to ~sum(sep^2) + n*leaf ≈ 1-2 GB at
+235k because separators SHRINK with tree depth.
+
+Structure:
+
+- ORDERING (host): recursive bisection by single BFS-graph-level
+  separators (a dof in level l couples only l±1, so one level disconnects
+  its sides — see solvers/tridiag.graph_levels). The split axis follows
+  the tile's longest extent; the separator level is chosen as the
+  smallest level near the dof-count median (graded meshes have cheap and
+  expensive fronts — we cut where the front is thin).
+- FACTORIZATION (host, f64, disk-cached): classic multifrontal postorder —
+  each node assembles its frontal matrix F over [elim | boundary] dofs,
+  extend-adds the children's Schur updates, eliminates its own dofs with a
+  PIVOTED dense inverse, and passes the Schur complement up. Factors are
+  stored f32 (rounding an exact factor costs ~1e-6 solve accuracy —
+  measured in round 2 — while f32 *elimination* at these sizes does not).
+- SOLVE (device, jit): one forward + one backward sweep over ~10-15 tree
+  depths. All nodes at a depth execute as ONE batched dense matmul over
+  padded stacks (inv_ii, F_ib, F_bi), with gather/scatter between the
+  global vector and the per-node index lists (scatter-add via the padded
+  gather-table transpose, the repo's standard TPU assembly trick).
+  Per-solve HBM traffic = one read of the factors (~2x1.5 GB fwd+bwd at
+  235k) — single-stream solves are bandwidth-bound at MXU-friendly shapes.
+
+The per-depth node axis is also the distribution axis: shard the stacks
+over a `space` device mesh and each device owns a subtree forest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from flowcontrol_tpu.solvers.tridiag import graph_levels
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class _Node:
+    elim: np.ndarray  # global dof ids eliminated at this node
+    children: list = field(default_factory=list)
+    depth: int = 0
+    bd: np.ndarray | None = None  # exterior neighbors of the subtree
+    delayed: np.ndarray | None = None  # pivots passed up to the parent
+
+
+def _bincount_levels(level):
+    return np.bincount(level[level >= 0])
+
+
+def _choose_separator(level: np.ndarray, counts: np.ndarray,
+                      window: int = 6):
+    """Separator = the smallest level near the dof-count median (cut where
+    the front is thin), subject to a balance guarantee: unbalanced splits
+    recurse deep and fragment the stage structure."""
+    n_lvl = len(counts)
+    csum = np.cumsum(counts)
+    total = csum[-1]
+    mid = int(np.searchsorted(csum, total / 2))
+    mid = min(max(mid, 1), n_lvl - 2)
+    lo = max(1, mid - window)
+    hi = min(n_lvl - 1, mid + window + 1)
+    cand = np.arange(lo, hi)
+    if len(cand):
+        left = csum[cand - 1]
+        right = total - csum[cand]
+        ok = np.minimum(left, right) >= 0.25 * total
+        if ok.any():
+            cand = cand[ok]
+            return int(cand[np.argmin(counts[cand])])
+    return mid
+
+
+def build_nd_tree(g, coords: np.ndarray, dofs: np.ndarray,
+                  leaf_max: int = 1536, depth: int = 0) -> _Node:
+    """Recursive nested-dissection tree over ``dofs`` (global ids).
+
+    ``g`` is the symmetrized global pattern (CSR). Separators are single
+    BFS levels of the induced subgraph, seeded along the tile's longest
+    coordinate extent.
+    """
+    if len(dofs) <= leaf_max or depth >= 40:
+        return _Node(elim=np.sort(dofs), depth=depth)
+    sub = g[dofs][:, dofs].tocsr()  # g symmetric -> sub symmetric
+    c = coords[dofs]
+    # try BOTH axes and keep the smaller separator: geometric extent is a
+    # bad proxy on graded/anisotropic meshes (a tile can be wide in x yet
+    # have far cheaper x-fronts than y-fronts)
+    best = None
+    for axis in (0, 1):
+        level = graph_levels(sub, c, axis=axis, g=sub)
+        counts = _bincount_levels(level)
+        if len(counts) < 5:
+            continue
+        si = _choose_separator(level, counts)
+        if best is None or counts[si] < best[0]:
+            best = (int(counts[si]), level, si)
+    if best is None:
+        logger.warning(
+            "multifrontal: unsplittable tile of %d dofs at depth %d — "
+            "oversized leaf", len(dofs), depth,
+        )
+        return _Node(elim=np.sort(dofs), depth=depth)
+    _, level, s = best
+    left = dofs[level < s]
+    right = dofs[level > s]
+    sep = dofs[level == s]
+    if not len(left) or not len(right):
+        return _Node(elim=np.sort(dofs), depth=depth)
+    node = _Node(elim=np.sort(sep), depth=depth)
+    node.children = [
+        build_nd_tree(g, coords, left, leaf_max, depth + 1),
+        build_nd_tree(g, coords, right, leaf_max, depth + 1),
+    ]
+    return node
+
+
+def _merge_small_nodes(v: _Node, min_elim: int = 192):
+    """Collapse nodes with tiny elim sets into their parent (the parent
+    adopts the grandchildren). Tiny separators/leaves fragment the batched
+    per-depth stages into hundreds of single-node matmuls; merging costs a
+    slightly fatter parent front and buys an order of magnitude fewer
+    stages."""
+    new_children = []
+    for c in v.children:
+        _merge_small_nodes(c, min_elim)
+        if len(c.elim) < min_elim:
+            v.elim = np.sort(np.concatenate([v.elim, c.elim]))
+            new_children.extend(c.children)
+        else:
+            new_children.append(c)
+    v.children = new_children
+
+
+def _set_depths(v: _Node, depth: int = 0):
+    v.depth = depth
+    for c in v.children:
+        _set_depths(c, depth + 1)
+
+
+def _annotate_boundaries(g, root: _Node):
+    """bd(v) = exterior neighbors of subtree(v) — by the separator
+    property these are exactly ancestor elim dofs. Bottom-up pass."""
+
+    def visit(v) -> np.ndarray:  # returns subtree dof set (sorted)
+        if not v.children:
+            sub = v.elim
+        else:
+            parts = [visit(c) for c in v.children] + [v.elim]
+            sub = np.sort(np.concatenate(parts))
+        nbrs = np.unique(g[sub].indices)
+        v.bd = np.setdiff1d(nbrs, sub, assume_unique=False)
+        return sub
+
+    visit(root)
+    # normalize depths so stacking groups by actual tree depth
+    return root
+
+
+def _postorder(root: _Node):
+    out = []
+
+    def rec(v):
+        for c in v.children:
+            rec(c)
+        out.append(v)
+
+    rec(root)
+    return out
+
+
+class MultifrontalLU:
+    """Factor once (host f64, disk-cached); solve many on device.
+
+    ``solve`` accepts (..., n) right-hand sides; device state is a pytree
+    (``tree()``) + static shape info (``static()``) so the jitted solve can
+    sit inside scans/vmaps like the other solver kinds.
+    """
+
+    def __init__(self, a_csr, coords: np.ndarray, leaf_max: int = 1536,
+                 dtype=jnp.float32, store_dtype=None):
+        a_csr = a_csr.tocsr()
+        n = a_csr.shape[0]
+        self.n = n
+        t_all = time.time()
+        np_store = np.dtype(
+            jnp.dtype(store_dtype if store_dtype is not None else dtype).name
+        )
+
+        from flowcontrol_tpu.solvers.factor_cache import (
+            load as fc_load,
+            matrix_key as fc_key,
+            save as fc_save,
+        )
+
+        coords_digest = hashlib.sha256(
+            np.ascontiguousarray(coords).tobytes()
+        ).hexdigest()[:16]
+        key = fc_key(a_csr, "multifrontal-v3", leaf_max, np_store.name,
+                     coords_digest)
+        cached = fc_load(key)
+        if cached is not None and int(cached["n"]) == n:
+            payload = {k: v for k, v in cached.items()}
+            logger.info("multifrontal: loaded cached factors")
+        else:
+            payload = self._factorize(a_csr, coords, leaf_max, np_store)
+            fc_save(key, n=np.int64(n), **payload)
+        self._unpack(payload, dtype)
+        logger.info(
+            "multifrontal: ready in %.1fs — %d depths, factor %.2f GB",
+            time.time() - t_all, self.n_depths,
+            sum(v.nbytes for v in jax.tree_util.tree_leaves(self._dev))
+            / 2**30,
+        )
+
+    # ── host factorization ──────────────────────────────────────────────────
+
+    @staticmethod
+    def _factorize(a_csr, coords, leaf_max, np_store):
+        n = a_csr.shape[0]
+        t0 = time.time()
+        g = ((a_csr != 0) + (a_csr != 0).T).tocsr()
+        root = build_nd_tree(g, coords, np.arange(n), leaf_max=leaf_max)
+        _merge_small_nodes(root)
+        _set_depths(root)
+        _annotate_boundaries(g, root)
+        nodes = _postorder(root)
+        logger.info(
+            "multifrontal: tree %.1fs — %d nodes, max depth %d, "
+            "max elim %d, max bd %d", time.time() - t0, len(nodes),
+            max(v.depth for v in nodes),
+            max(len(v.elim) for v in nodes),
+            max(len(v.bd) for v in nodes),
+        )
+
+        t0 = time.time()
+        updates: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        stats_flops = 0.0
+        n_delayed = 0
+        import scipy.linalg as sla
+
+        for v in nodes:
+            # DELAYED PIVOTING (the multifrontal essential for saddle-point
+            # matrices): a frontal pivot block of an indefinite matrix can
+            # be singular even though A is not (e.g. a pressure dof whose
+            # velocity couplings all sit outside the block). Dofs whose
+            # pivot falls below threshold are NOT eliminated here — they
+            # join the boundary and are passed up into the parent's front,
+            # exactly as MUMPS delays pivots up the assembly tree.
+            delayed_in = (
+                np.concatenate([c.delayed for c in v.children])
+                if v.children else np.array([], dtype=np.int64)
+            )
+            elim = np.concatenate([v.elim, delayed_in.astype(np.int64)])
+            bd_static = v.bd
+            ids = np.concatenate([elim, bd_static])
+            # assemble each ORIGINAL entry A[i,j] exactly once across the
+            # tree: at the deeper of node(i), node(j) — i.e. here iff i or
+            # j belongs to THIS node's tree-assigned elim set (pre-delay;
+            # a delayed dof's original data was already assembled at its
+            # own node). Everything else arrives via children updates.
+            f = a_csr[ids][:, ids].toarray()
+            own = np.isin(ids, v.elim)
+            # ...and never for pairs involving a DELAYED dof: its original
+            # row/col was assembled at its own (deeper) node
+            dly = np.isin(ids, delayed_in)
+            f *= (own[:, None] | own[None, :]) & ~(
+                dly[:, None] | dly[None, :]
+            )
+            # position of any global id inside `ids` (ids is NOT sorted)
+            order = np.argsort(ids, kind="stable")
+            ids_sorted = ids[order]
+            for c in v.children:
+                bd_c, u_c = updates.pop(id(c))
+                loc = order[np.searchsorted(ids_sorted, bd_c)]
+                assert np.array_equal(ids[loc], bd_c)
+                f[np.ix_(loc, loc)] += u_c
+
+            # choose the eliminable subset of `elim`
+            keep = np.arange(len(elim))
+            scale = max(np.abs(f[: len(elim), : len(elim)]).max(), 1e-300)
+            while True:
+                ne = len(keep)
+                if ne == 0:
+                    break
+                f_ii = f[np.ix_(keep, keep)]
+                lu, piv = sla.lu_factor(f_ii, check_finite=False)
+                du = np.abs(np.diag(lu))
+                bad = np.where(du <= 1e-10 * scale)[0]
+                if not len(bad):
+                    break
+                # drop the dependent columns (pivot order = column order
+                # under partial pivoting) and retry
+                keep = np.delete(keep, bad)
+            if len(keep) == 0 and len(bd_static) == 0:
+                raise np.linalg.LinAlgError(
+                    "singular root front — matrix is singular"
+                )
+            delayed_mask = np.ones(len(elim), dtype=bool)
+            delayed_mask[keep] = False
+            v.delayed = elim[delayed_mask]
+            n_delayed += len(v.delayed)
+            elim_kept = elim[keep]
+            bd_full = np.concatenate([v.delayed, bd_static])
+            # reorder the front as [kept | delayed | static bd]
+            sel = np.concatenate(
+                [keep, np.where(delayed_mask)[0],
+                 len(elim) + np.arange(len(bd_static))]
+            )
+            f = f[np.ix_(sel, sel)]
+            ne = len(keep)
+            inv_ii = (
+                sla.lu_solve((lu, piv), np.eye(ne), check_finite=False)
+                if ne else np.zeros((0, 0))
+            )
+            f_ib = f[:ne, ne:]
+            f_bi = f[ne:, :ne]
+            stats_flops += 2 * ne**3 / 3 + 2 * ne * ne * len(bd_full) * 2
+            if len(bd_full):
+                updates[id(v)] = (
+                    bd_full, f[ne:, ne:] - f_bi @ (inv_ii @ f_ib)
+                )
+            else:
+                updates[id(v)] = (bd_full, np.zeros((0, 0)))
+            v.elim = elim_kept
+            v.bd = bd_full
+            v.inv_ii = inv_ii.astype(np_store)
+            v.f_ib = f_ib.astype(np_store)
+            v.f_bi = f_bi.astype(np_store)
+        if n_delayed:
+            logger.info("multifrontal: %d delayed pivots", n_delayed)
+        logger.info("multifrontal: numeric factorization %.1fs (%.1f Gflop)",
+                    time.time() - t0, stats_flops / 1e9)
+
+        # ── pack padded stacks: stages = (depth, size-bucket) groups ────────
+        # Nodes at one tree depth vary wildly in size (a 100-dof leaf next
+        # to a 2k separator): padding a whole depth to its max wastes ~8x
+        # (measured 12.2 GB padded vs 1.5 GB content at the 235k cavity).
+        # Bucketing by padded size keeps stages tight; execution order only
+        # needs children-before-parents, i.e. deeper stages first.
+        grid = [128, 256, 512, 768, 1024, 1536, 2048, 3072, 4096, 6144,
+                8192, 12288, 16384]
+
+        def bucket(x: int) -> int:
+            for gv in grid:
+                if x <= gv:
+                    return gv
+            return x
+
+        groups: dict[tuple, list] = {}
+        for v in nodes:
+            key = (v.depth, bucket(max(len(v.elim), 1)),
+                   bucket(max(len(v.bd), 1)))
+            groups.setdefault(key, []).append(v)
+        stage_keys = sorted(groups, key=lambda k: (-k[0], k[1], k[2]))
+        payload: dict[str, np.ndarray] = {}
+        payload["depth_order"] = np.asarray([k[0] for k in stage_keys])
+        for di, key in enumerate(stage_keys):
+            group = groups[key]
+            e_max = key[1]
+            b_max = key[2]
+            m = len(group)
+            elim_idx = np.full((m, e_max), n, dtype=np.int64)
+            bd_idx = np.full((m, b_max), n, dtype=np.int64)
+            inv_ii = np.zeros((m, e_max, e_max), dtype=np_store)
+            f_ib = np.zeros((m, e_max, b_max), dtype=np_store)
+            f_bi = np.zeros((m, b_max, e_max), dtype=np_store)
+            for i, v in enumerate(group):
+                ne, nb = len(v.elim), len(v.bd)
+                elim_idx[i, :ne] = v.elim
+                bd_idx[i, :nb] = v.bd
+                inv_ii[i, :ne, :ne] = v.inv_ii
+                f_ib[i, :ne, :nb] = v.f_ib
+                f_bi[i, :nb, :ne] = v.f_bi
+            payload[f"elim_{di}"] = elim_idx
+            payload[f"bd_{di}"] = bd_idx
+            payload[f"inv_{di}"] = inv_ii
+            payload[f"fib_{di}"] = f_ib
+            payload[f"fbi_{di}"] = f_bi
+        return payload
+
+    def _unpack(self, payload, dtype):
+        """Build the SCATTER-FREE device representation.
+
+        The work vector is laid out in (stage, node, slot) order so each
+        stage's eliminated block is CONTIGUOUS: stage writes are static
+        slice updates and all cross-stage reads are gathers — scatters
+        never appear in the solve (scatter inside lax.scan is the known
+        TPU compile killer; the first scatter-based version of this solve
+        hit a 68 GB compile-time OOM at 235k dofs).
+        """
+        from flowcontrol_tpu.fem.assembly import build_gather_table
+
+        n = self.n
+        depths = payload["depth_order"]
+        self.n_depths = len(depths)
+
+        # slot layout: stage si owns [offset_si, offset_si + m*e_max)
+        offsets = []
+        total = 0
+        for di in range(self.n_depths):
+            m, e_max = payload[f"elim_{di}"].shape
+            offsets.append(total)
+            total += m * e_max
+        self.total_slots = total
+
+        # global dof -> slot (each dof eliminated exactly once)
+        slot_of = np.full(n + 1, total, dtype=np.int64)  # pad -> pad slot
+        for di in range(self.n_depths):
+            elim_idx = payload[f"elim_{di}"]  # (m, e_max), pad == n
+            flat = elim_idx.reshape(-1)
+            slots = offsets[di] + np.arange(flat.size)
+            real = flat < n
+            slot_of[flat[real]] = slots[real]
+        # slot -> global dof (pad slots -> n, reading the appended zero)
+        perm = np.full(total, n, dtype=np.int64)
+        for di in range(self.n_depths):
+            flat = payload[f"elim_{di}"].reshape(-1)
+            perm[offsets[di]: offsets[di] + flat.size] = flat
+
+        dev = {
+            "perm": jnp.asarray(perm),
+            "ipos": jnp.asarray(slot_of[:n]),
+            "stages": [],
+        }
+        self._stage_static = []
+        for di in range(self.n_depths):
+            elim_idx = payload[f"elim_{di}"]
+            bd_idx = payload[f"bd_{di}"]
+            bd_slots = slot_of[np.minimum(bd_idx, n)]  # (m, b_max)
+            # gather-table (transposed scatter) for the forward bd update —
+            # collisions (siblings sharing ancestor separator dofs) sum.
+            # Stored TRANSPOSED (kmax, total+1): TPU pads the minor-most
+            # dim to 128 lanes, so a (total+1, kmax~3) table would balloon
+            # ~40x in HBM (measured: a 79 GB compile-time OOM at 235k).
+            table = build_gather_table(bd_slots.reshape(-1), total + 1)
+            stage = {
+                "bd": jnp.asarray(bd_slots.astype(np.int32)),
+                "inv": jnp.asarray(payload[f"inv_{di}"]),
+                "fib": jnp.asarray(payload[f"fib_{di}"]),
+                "fbi": jnp.asarray(payload[f"fbi_{di}"]),
+                "bd_table_t": jnp.asarray(
+                    np.ascontiguousarray(table.T.astype(np.int32))
+                ),
+            }
+            dev["stages"].append(stage)
+            self._stage_static.append(
+                (elim_idx.shape[1], bd_idx.shape[1], elim_idx.shape[0],
+                 offsets[di])
+            )
+        self._dev = dev
+
+    # ── public API ──────────────────────────────────────────────────────────
+
+    def tree(self):
+        return self._dev
+
+    def static(self):
+        return dict(n=self.n, total=self.total_slots,
+                    stages=tuple(self._stage_static))
+
+    def solve(self, b):
+        return multifrontal_solve(self._dev, b, **self.static())
+
+
+def _gather_sum_t(contrib, table_t):
+    """Sum contributions per output slot; ``table_t (kmax, n_out)`` holds
+    contribution indices (pad -> len(contrib), reading an appended zero).
+    Transposed layout keeps the 128-lane minor dim on n_out, not kmax."""
+    padded = jnp.concatenate(
+        [contrib, jnp.zeros(contrib.shape[:-1] + (1,), dtype=contrib.dtype)],
+        axis=-1,
+    )
+    return jnp.take(padded, table_t, axis=-1).sum(axis=-2)
+
+
+@partial(jax.jit, static_argnames=("n", "total", "stages"))
+def multifrontal_solve(dev, b, n: int, total: int, stages):
+    """x = A^-1 b; b may carry leading batch dims.
+
+    Work vector in slot order (see _unpack). Forward sweep (leaves->root):
+    z_v = inv_ii x[elim_v]; x[bd_v] -= F_bi z_v, writing z into the
+    stage's contiguous block. Backward (root->leaves):
+    x[elim_v] = z_v - inv_ii (F_ib x[bd_v]). No scatters: slice writes +
+    gather-table reductions only.
+    """
+    batch = b.shape[:-1]
+    dtype = dev["stages"][0]["inv"].dtype
+    out_dtype = b.dtype if b.dtype in (jnp.float32, jnp.float64) else dtype
+
+    bext = jnp.concatenate(
+        [jnp.asarray(b).astype(dtype), jnp.zeros(batch + (1,), dtype=dtype)],
+        axis=-1,
+    )
+    # slot-ordered work vector + one trailing pad slot (always zero)
+    x = jnp.concatenate(
+        [bext[..., dev["perm"]], jnp.zeros(batch + (1,), dtype=dtype)],
+        axis=-1,
+    )
+
+    n_stages = len(stages)
+    # forward: deepest stages first (stage list is ordered deep -> root)
+    for si in range(n_stages):
+        st = dev["stages"][si]
+        e_max, b_max, m, off = stages[si]
+        xe = jax.lax.dynamic_slice_in_dim(
+            x, off, m * e_max, axis=-1
+        ).reshape(batch + (m, e_max))
+        z = jnp.einsum("mij,...mj->...mi", st["inv"], xe)
+        upd = jnp.einsum("mbi,...mi->...mb", st["fbi"], z)
+        delta = _gather_sum_t(
+            upd.reshape(batch + (-1,)), st["bd_table_t"]
+        )
+        x = x - delta
+        # store z in the stage's contiguous block (static slice update;
+        # no later forward stage reads it)
+        x = jax.lax.dynamic_update_slice_in_dim(
+            x, z.reshape(batch + (m * e_max,)), off, axis=-1
+        )
+
+    # backward: root first
+    for si in reversed(range(n_stages)):
+        st = dev["stages"][si]
+        e_max, b_max, m, off = stages[si]
+        xb = x[..., st["bd"]]  # gather: ancestor slots are final
+        corr = jnp.einsum("mib,...mb->...mi", st["fib"], xb)
+        corr = jnp.einsum("mij,...mj->...mi", st["inv"], corr)
+        z = jax.lax.dynamic_slice_in_dim(
+            x, off, m * e_max, axis=-1
+        ).reshape(batch + (m, e_max))
+        x = jax.lax.dynamic_update_slice_in_dim(
+            x, (z - corr).reshape(batch + (m * e_max,)), off, axis=-1
+        )
+
+    return x[..., dev["ipos"]].astype(out_dtype)

@@ -65,9 +65,10 @@ class PinchError(ValueError):
     fewer, thicker strips."""
 
 
-def graph_levels(a_csr, coords: np.ndarray) -> np.ndarray:
+def graph_levels(a_csr, coords: np.ndarray, axis: int = 0,
+                 g=None) -> np.ndarray:
     """BFS level number of every dof in the (symmetrized) matrix graph,
-    seeded from the min-x boundary layer.
+    seeded from the min-coordinate boundary layer along ``axis``.
 
     The level structure is the partition's backbone: a dof in level l
     couples only levels l-1..l+1, so any grouping of CONSECUTIVE levels
@@ -80,10 +81,11 @@ def graph_levels(a_csr, coords: np.ndarray) -> np.ndarray:
     any assignment is valid for them since no coupling constrains them.
     """
     n = a_csr.shape[0]
-    g = ((a_csr != 0) + (a_csr != 0).T).tocsr()
+    if g is None:
+        g = ((a_csr != 0) + (a_csr != 0).T).tocsr()
     deg = np.diff(g.indptr)
     offdiag = deg > 1  # isolated (BC) rows hold only their diagonal
-    x = coords[:, 0]
+    x = coords[:, axis]
     level = np.full(n, -1, dtype=np.int64)
 
     conn = np.where(offdiag)[0]
@@ -134,13 +136,15 @@ def partition_strips(a_csr, coords: np.ndarray, n_blocks: int,
     if level is None:
         level = graph_levels(a_csr, coords)
     n_lvl = int(level.max()) + 1
-    if n_lvl < 2 * n_blocks:
+    min_lvls = 4  # >= ~1.5 element layers: 2 avoids pinch, but thinner
+    # strips can still yield structurally singular interiors (a pressure
+    # dof whose velocity neighbors all fall in the cuts)
+    if n_lvl < min_lvls * n_blocks:
         raise PinchError(
             f"only {n_lvl} graph levels for n_blocks={n_blocks} "
-            f"(need >= 2 per strip)"
+            f"(need >= {min_lvls} per strip)"
         )
-    # group consecutive levels into strips of ~equal dof count (>=2 levels
-    # each, so no level touches both neighbor strips)
+    # group consecutive levels into strips of ~equal dof count
     lvl_counts = np.bincount(level, minlength=n_lvl)
     strip_of_level = np.zeros(n_lvl, dtype=np.int64)
     target = n / n_blocks
@@ -150,8 +154,8 @@ def partition_strips(a_csr, coords: np.ndarray, n_blocks: int,
     for l in range(n_lvl):
         lvls_left = n_lvl - l
         strips_left = n_blocks - s
-        must_close = lvls_left <= 2 * (strips_left - 1)
-        if s < n_blocks - 1 and nlev_s >= 2 and (
+        must_close = lvls_left <= min_lvls * (strips_left - 1)
+        if s < n_blocks - 1 and nlev_s >= min_lvls and (
             acc >= target or must_close
         ):
             s += 1
@@ -240,7 +244,7 @@ class TridiagSubstructuredLU:
             n_blocks = self.auto_blocks(n, hbm_budget=hbm_budget)
         # partition, backing off if strips pinch
         level = graph_levels(a_csr, coords)
-        k = min(n_blocks, max(2, (int(level.max()) + 1) // 2))
+        k = min(n_blocks, max(2, (int(level.max()) + 1) // 4))
         while True:
             try:
                 interiors, cuts = partition_strips(a_csr, coords, k,
@@ -456,7 +460,12 @@ class TridiagSubstructuredLU:
                 f"strip {d} couples cuts outside {local_cuts}"
             )
             a_dd = a_perm[rows, rows].tocsc()
-            lu = spla.splu(a_dd)
+            try:
+                lu = spla.splu(a_dd)
+            except RuntimeError as e:  # singular interior: strip too thin
+                raise PinchError(
+                    f"interior block {d} singular ({e}) — strips too thin"
+                ) from e
             a_ic = sp.hstack(
                 [a_perm[rows, cr] for _, cr in col_ranges]
             ).toarray()

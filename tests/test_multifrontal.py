@@ -1,0 +1,154 @@
+"""Batched multifrontal (nested-dissection) solver vs sparse LU truth."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from flowcontrol_tpu.fem.assembly import to_scipy_csr
+from flowcontrol_tpu.parallel.dofsharding import mixed_dof_coordinates
+from flowcontrol_tpu.solvers.multifrontal import (
+    MultifrontalLU,
+    _annotate_boundaries,
+    _postorder,
+    build_nd_tree,
+)
+
+
+@pytest.fixture(scope="module")
+def bdf2_system():
+    """BDF2 time-step matrix of a small cylinder flow (BC-eliminated)."""
+    from flowcontrol_tpu.mesh.generation import cylinder_mesh
+    from flowcontrol_tpu.models.cylinder import CylinderFlowSolver
+
+    mesh = cylinder_mesh(
+        yinf=5.0, xinf=15.0, xinfa=-5.0, n1=4.0, n2=2.0, n3=0.8, segments=80
+    )
+    fs = CylinderFlowSolver.make_default(
+        Re=100, num_steps=1, verbose=0, mesh=mesh,
+        solver_backend="host_lu", precision="f64",
+    )
+    fs.compute_steady_state(u_ctrl=[0.0, 0.0], method="picard", max_iter=3)
+    bcs = fs._bcset_perturbation()
+    lhs_e = fs.forms.transient_lhs(2, fs.fields.U0)
+    a_csr = to_scipy_csr(lhs_e, fs.space.cell_dofs, fs.space.n_dofs)
+    a_bc, _ = bcs.eliminate_csr(a_csr)
+    return a_bc, mixed_dof_coordinates(fs.space)
+
+
+def test_nd_tree_separator_property(bdf2_system):
+    """Children subtrees must not couple each other (separators separate),
+    every dof is eliminated exactly once, and bd(v) = ancestor elims."""
+    a_bc, coords = bdf2_system
+    n = a_bc.shape[0]
+    g = ((a_bc != 0) + (a_bc != 0).T).tocsr()
+    root = build_nd_tree(g, coords, np.arange(n), leaf_max=600)
+    _annotate_boundaries(g, root)
+    nodes = _postorder(root)
+    all_elim = np.concatenate([v.elim for v in nodes])
+    assert len(all_elim) == n
+    assert len(np.unique(all_elim)) == n
+
+    def subtree(v):
+        out = [v.elim] + [subtree(c) for c in v.children]
+        return np.concatenate(out)
+
+    def check(v, anc_elims):
+        if v.children:
+            l, r = (np.sort(subtree(c)) for c in v.children)
+            assert g[l][:, r].nnz == 0, "separator fails to separate"
+        anc = (
+            np.sort(np.concatenate(anc_elims)) if anc_elims
+            else np.array([], dtype=int)
+        )
+        assert np.isin(v.bd, anc).all(), "bd contains non-ancestor dofs"
+        for c in v.children:
+            check(c, anc_elims + [v.elim])
+
+    check(root, [])
+    assert len(nodes) > 3  # actually recursed
+
+
+def test_multifrontal_matches_splu_f64(bdf2_system, tmp_path, monkeypatch):
+    import scipy.sparse.linalg as spla
+
+    monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
+    a_bc, coords = bdf2_system
+    mf = MultifrontalLU(a_bc, coords, leaf_max=700, dtype=jax.numpy.float64)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(a_bc.shape[0])
+    x = np.asarray(mf.solve(b))
+    x_ref = spla.splu(a_bc.tocsc()).solve(b)
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-11
+
+
+def test_multifrontal_f32_accuracy_and_batch(bdf2_system, tmp_path,
+                                             monkeypatch):
+    """f64-factored, f32-rounded factors: rounding-limited solves (~1e-6
+    class), batched rhs, refinement reaches deep f32."""
+    import scipy.sparse.linalg as spla
+
+    monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
+    a_bc, coords = bdf2_system
+    mf = MultifrontalLU(a_bc, coords, leaf_max=700, dtype=jax.numpy.float32)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal((2, 3, a_bc.shape[0]))
+    x = np.asarray(mf.solve(b), dtype=np.float64)
+    assert x.shape == b.shape
+    lu = spla.splu(a_bc.tocsc())
+    for i in range(2):
+        for j in range(3):
+            x_ref = lu.solve(b[i, j])
+            rel = np.linalg.norm(x[i, j] - x_ref) / np.linalg.norm(x_ref)
+            assert rel < 2e-5, rel
+    assert np.asarray(mf.solve(b[0, 0].astype(np.float64))).dtype == np.float64
+
+
+@pytest.mark.parametrize("precision,tol", [("f64", 1e-9), ("f32", 1e-3)])
+def test_stepper_multifrontal_backend_matches_host_lu(tmp_path, monkeypatch,
+                                                      precision, tol):
+    """End-to-end: the Stepper's default substructure backend (multifrontal)
+    reproduces the host_lu/f64 trajectory (ceilings shrunk to force the
+    path on a small mesh)."""
+    from flowcontrol_tpu.core.stepper import Stepper
+    from flowcontrol_tpu.models.lidcavity import LidCavityFlowSolver
+
+    monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
+    monkeypatch.setenv("FLOWCONTROL_TPU_HBM_GB", "0.002")
+    monkeypatch.setattr(Stepper, "LAPACK_LU_MAX_N", 300)
+
+    def run(backend, precision):
+        fs = LidCavityFlowSolver.make_default(
+            Re=500, num_steps=6, verbose=0, n_mesh=12,
+            path_out=tmp_path / f"{backend}{precision}",
+            solver_backend=backend, precision=precision,
+        )
+        fs.compute_steady_state(u_ctrl=[0.0], method="picard", max_iter=4)
+        fs.initialize_time_stepping()
+        for _ in range(5):
+            y = fs.step(np.array([0.01]))
+        assert (
+            backend == "host_lu"
+            or "multifrontal" in fs._stepper._solver_kinds
+        )
+        return y, np.asarray(fs.fields.up_)
+
+    y_ref, x_ref = run("host_lu", "f64")
+    y, x = run("dense_lu", precision)
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < tol
+    assert np.allclose(y, y_ref, rtol=10 * tol, atol=tol)
+
+
+def test_multifrontal_warm_cache_reproduces(bdf2_system, tmp_path,
+                                            monkeypatch):
+    monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
+    a_bc, coords = bdf2_system
+    kw = dict(leaf_max=700, dtype=jax.numpy.float32)
+    mf = MultifrontalLU(a_bc, coords, **kw)
+    mf2 = MultifrontalLU(a_bc, coords, **kw)  # cache hit
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(a_bc.shape[0])
+    assert np.allclose(
+        np.asarray(mf.solve(b)), np.asarray(mf2.solve(b)),
+        rtol=1e-6, atol=1e-9,
+    )

@@ -112,6 +112,39 @@ def test_tridiag_solve_f32_accuracy_and_batch(bdf2_system, tmp_path,
     assert np.asarray(slu.solve(b[0, 0].astype(np.float64))).dtype == np.float64
 
 
+@pytest.mark.parametrize("precision,tol", [("f64", 1e-8), ("f32", 2e-4)])
+def test_stepper_tridiag_backend_matches_host_lu(tmp_path, monkeypatch,
+                                                 precision, tol):
+    """End-to-end: the Stepper's tridiag substructured backend reproduces
+    the host_lu/f64 trajectory (ceilings shrunk to force the path on a
+    small mesh)."""
+    from flowcontrol_tpu.core.stepper import Stepper
+    from flowcontrol_tpu.models.lidcavity import LidCavityFlowSolver
+
+    monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
+    monkeypatch.setenv("FLOWCONTROL_TPU_HBM_GB", "0.002")
+    monkeypatch.setattr(Stepper, "LAPACK_LU_MAX_N", 300)
+
+    def run(backend, precision, sub):
+        fs = LidCavityFlowSolver.make_default(
+            Re=500, num_steps=6, verbose=0, n_mesh=12,
+            path_out=tmp_path / f"{backend}{precision}",
+            solver_backend=backend, precision=precision,
+            stepper_options={"substructure": sub} if backend == "dense_lu"
+            else {},
+        )
+        fs.compute_steady_state(u_ctrl=[0.0], method="picard", max_iter=4)
+        fs.initialize_time_stepping()
+        for _ in range(5):
+            y = fs.step(np.array([0.01]))
+        return y, np.asarray(fs.fields.up_)
+
+    y_ref, x_ref = run("host_lu", "f64", None)
+    y, x = run("dense_lu", precision, "tridiag")
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < tol
+    assert np.allclose(y, y_ref, rtol=10 * tol, atol=tol)
+
+
 def test_tridiag_warm_cache_reproduces(bdf2_system, tmp_path, monkeypatch):
     monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
     a_bc, coords = bdf2_system
