@@ -409,8 +409,6 @@ class MultifrontalLU:
         TPU compile killer; the first scatter-based version of this solve
         hit a 68 GB compile-time OOM at 235k dofs).
         """
-        from flowcontrol_tpu.fem.assembly import build_gather_table
-
         n = self.n
         depths = payload["depth_order"]
         self.n_depths = len(depths)
@@ -450,10 +448,12 @@ class MultifrontalLU:
             bd_slots = slot_of[np.minimum(bd_idx, n)]  # (m, b_max)
             # gather-table (transposed scatter) for the forward bd update —
             # collisions (siblings sharing ancestor separator dofs) sum.
-            # Stored TRANSPOSED (kmax, total+1): TPU pads the minor-most
-            # dim to 128 lanes, so a (total+1, kmax~3) table would balloon
-            # ~40x in HBM (measured: a 79 GB compile-time OOM at 235k).
-            table = build_gather_table(bd_slots.reshape(-1), total + 1)
+            # Built over REAL contributions only: bd padding all maps to
+            # the one trash slot, which would drive the table width to the
+            # total pad count (~16k) and the table to tens of GB. Stored
+            # TRANSPOSED (kmax, total+1): TPU pads the minor-most dim to
+            # 128 lanes, so a (total+1, kmax~3) layout balloons ~40x.
+            table = _table_skip_pads(bd_slots.reshape(-1), total)
             stage = {
                 "bd": jnp.asarray(bd_slots.astype(np.int32)),
                 "inv": jnp.asarray(payload[f"inv_{di}"]),
@@ -481,6 +481,24 @@ class MultifrontalLU:
 
     def solve(self, b):
         return multifrontal_solve(self._dev, b, **self.static())
+
+
+def _table_skip_pads(dest: np.ndarray, n_out: int) -> np.ndarray:
+    """Transposed-scatter gather table over destinations ``dest`` (pad
+    entries == n_out are excluded; they point at the appended-zero slot).
+    Returns (n_out + 1, kmax) with source positions, pad = len(dest)."""
+    real = np.where(dest < n_out)[0]
+    d = dest[real]
+    order = np.argsort(d, kind="stable")
+    d_sorted = d[order]
+    pos = real[order]
+    counts = np.bincount(d_sorted, minlength=n_out)
+    kmax = max(int(counts.max(initial=0)), 1)
+    table = np.full((n_out + 1, kmax), len(dest), dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    within = np.arange(len(d_sorted)) - starts[d_sorted]
+    table[d_sorted, within] = pos
+    return table
 
 
 def _gather_sum_t(contrib, table_t):

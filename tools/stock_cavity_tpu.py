@@ -89,11 +89,11 @@ def main():
     fs64 = build("host_lu", "f64")
     fs64.initialize_time_stepping()
     for _ in range(10):
-        y64 = fs64.step(u_ctrl=np.zeros(fs64.params_control.n_act))
+        y64 = fs64.step(u_ctrl=np.zeros(fs64.params_control.actuator_number))
     fs32 = build("dense_lu", "f32")
     fs32.initialize_time_stepping()
     for _ in range(10):
-        y32 = fs32.step(u_ctrl=np.zeros(fs32.params_control.n_act))
+        y32 = fs32.step(u_ctrl=np.zeros(fs32.params_control.actuator_number))
     dy = np.abs(np.asarray(y32) - np.asarray(y64)) / np.abs(np.asarray(y64))
     dx = np.linalg.norm(fs32.fields.up_ - fs64.fields.up_) / np.linalg.norm(
         fs64.fields.up_
