@@ -447,3 +447,67 @@ def test_hinfsyn_d11_mimo():
     cl = ltc.lft(p, k, ny=ny, nu=nu)
     assert ltc.isstable(cl)
     assert ltc.norm(cl, np.inf) <= gam * 1.001
+
+
+# ── Frozen external anchors ──────────────────────────────────────────────────
+# tests/data/lti_anchors.json holds values computed by algorithmically
+# independent naive methods (Kronecker-product Lyapunov solves, quadrature
+# H2, dense-grid + golden-section Linf — tools/generate_lti_anchors.py,
+# which shares no code with lticontrol). The reference cross-validates
+# against python-control (ref: tests/test_lticontrol_vs_control.py:1-9),
+# unavailable here; these frozen tables catch sign/convention drift that
+# self-derived identities cannot.
+
+import json
+from pathlib import Path
+
+_ANCHORS = Path(__file__).parent / "data" / "lti_anchors.json"
+
+
+@pytest.fixture(scope="module")
+def anchors():
+    return json.loads(_ANCHORS.read_text())
+
+
+def _ss_from_json(d):
+    return StateSpace(*(np.asarray(d[k], dtype=float) for k in "ABCD"))
+
+
+def test_anchor_norms_and_hsv(anchors):
+    for name, nd in anchors["norms"].items():
+        g = _ss_from_json(anchors["plants"][name])
+        assert np.isclose(ltc.norm(g, 2), nd["h2"], rtol=1e-6), name
+        assert np.isclose(ltc.norm(g, np.inf), nd["linf"], rtol=1e-5), name
+        assert np.allclose(ltc.sys_hsv(g), nd["hsv"], rtol=1e-6), name
+
+
+def test_anchor_hinfsyn_gamma(anchors):
+    for name, hd in anchors["hinfsyn"].items():
+        p = _ss_from_json(hd["plant"])
+        k, gamma = ltc.hinfsyn(p, hd["ny"], hd["nu"])
+        # bisection gamma reproduces the frozen value, and the achieved
+        # closed-loop norm matches the naive-grid measurement
+        assert np.isclose(gamma, hd["gamma"], rtol=5e-3), (name, gamma)
+        cl = ltc.lft(p, k, ny=hd["ny"], nu=hd["nu"])
+        assert ltc.isstable(cl)
+        assert np.isclose(ltc.norm(cl, np.inf), hd["gamma_cl_naive"],
+                          rtol=1e-4), name
+
+
+def test_anchor_balred_frequency_errors(anchors):
+    bd = anchors["balred"]
+    g = _ss_from_json(anchors["plants"]["mimo6"])
+    hsv = ltc.sys_hsv(g)
+    thresh = 0.5 * (hsv[2] + hsv[3]) / hsv[0]
+    gr, _, nr = ltc.balred_rel(g, thresh)
+    assert nr == bd["order"]
+
+    def resp(ss, w):
+        a, b, c, d = (np.atleast_2d(np.asarray(m))
+                      for m in (ss.A, ss.B, ss.C, ss.D))
+        return c @ np.linalg.solve(1j * w * np.eye(a.shape[0]) - a, b) + d
+
+    for w, e in zip(bd["ws"], bd["err_smax"]):
+        smax = np.linalg.svd(resp(g, w) - resp(gr, w), compute_uv=False)[0]
+        assert np.isclose(smax, e, rtol=1e-6), w
+    assert max(bd["err_smax"]) <= bd["bound_2sum_tail_hsv"] * (1 + 1e-9)
