@@ -673,6 +673,10 @@ class FlowSolver(ABC):
         self.fields.p_n = field.p
 
         self.y_meas = np.asarray(out.y, dtype=float)
+        # relative linear-solve residual (Krylov backends always measure it;
+        # direct backends report -1.0 unless stepper_options
+        # measure_residual=True) — the MUMPS-honesty guard of VERDICT r2
+        self.last_solve_res = float(np.max(np.asarray(out.res)))
         runtime = time.time() - t0
 
         if self._niter_multiple_of(self.iter, self.verbose):

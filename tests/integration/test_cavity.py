@@ -99,6 +99,10 @@ def test_cavity_gmres_backend(coarse_cavity_mesh, cavity_base, tmp_path):
         fs.initialize_time_stepping()
         for _ in range(5):
             y = fs.step(np.zeros(1))
+        if backend == "gmres":
+            # residual-honest Krylov (VERDICT r2 item 6): the adaptive
+            # restart loop must report convergence at the stiff config
+            assert 0.0 <= fs.last_solve_res <= fs.stepper.krylov_rtol
         return np.asarray(fs.fields.up_, dtype=float)
 
     x_ref = run("host_lu")

@@ -224,3 +224,36 @@ def test_stock_cylinder_unstable_eigenvalue(stock_base_flow):
     # it is the ONLY unstable eigenvalue near the shift
     unstable = vals[vals.real > 1e-6]
     assert len(unstable) == 1
+
+
+@pytest.mark.heavy
+def test_stock_cavity_tpu_path_parity(stock_cavity_base_flow, tmp_path):
+    """The production accelerator path — dense_lu/f32, which at 235k dofs
+    dispatches to the nested-dissection batched multifrontal solver
+    (solvers/multifrontal.py) — matches host_lu/f64 over 5 steps on the
+    reference's stock coarse cavity mesh (the flow its MUMPS handles
+    trivially, ref: src/flowcontrol/flowsolver.py:812-814).
+
+    Measured on TPU: 10-step y rel err ~3e-5, field rel err ~2e-4 — the
+    f32-rounded-factor class, far inside the 1e-4/1e-3 gates here."""
+    src = stock_cavity_base_flow
+    from flowcontrol_tpu.models.cavity import CavityFlowSolver
+
+    def fresh(backend, precision):
+        fs = CavityFlowSolver.make_default(
+            Re=7500, meshpath=CAVITY_MESH, num_steps=5, save_every=0,
+            path_out=tmp_path / backend, verbose=0,
+            solver_backend=backend, precision=precision,
+        )
+        fs._assign_steady_state(src.fields.U0.copy(), src.fields.P0.copy())
+        fs.initialize_time_stepping(ic=None)
+        for _ in range(5):
+            y = fs.step(u_ctrl=[0.0])
+        return np.asarray(y), fs.fields.up_.copy()
+
+    y64, up64 = fresh("host_lu", "f64")
+    y32, up32 = fresh("dense_lu", "f32")
+    dy = np.abs(y32 - y64) / np.maximum(np.abs(y64), 1e-12)
+    dx = np.linalg.norm(up32 - up64) / np.linalg.norm(up64)
+    assert dy.max() < 1e-4, f"y rel err {dy}"
+    assert dx < 1e-3, f"field rel err {dx:.2e}"
