@@ -129,6 +129,11 @@ class Stepper:
     #: (solvers/tridiag.py — thin elongated domains); 'dense_iface' = the
     #: round-2 dense-interface substructuring (solvers/substructure.py)
     substructure: str = "multifrontal"
+    #: route the dense path through the substructured solver even when a
+    #: single dense factor (or the LAPACK path) would fit — used by the
+    #: multi-chip dryrun/tests so small meshes exercise the DISTRIBUTED
+    #: multifrontal solve (parallel/mf_sharded.py)
+    force_substructure: bool = False
     dense_operators: bool | None = None  # mass/lvel applies as dense matmuls
     trisolve: str = "xla"  # 'xla' (blocked matmuls) | 'pallas' (fused kernel)
     block_lu_bs: int = 1024
@@ -232,7 +237,7 @@ class Stepper:
                 # factor ON DEVICE (MXU) in the target dtype: a dense f32 LU
                 # of the fixed time-step matrix — O(n^3) once, fast on TPU,
                 # avoids a minutes-long host LAPACK factorization
-                if n <= self.LAPACK_LU_MAX_N:
+                if n <= self.LAPACK_LU_MAX_N and not self.force_substructure:
                     a_dense = jnp.asarray(np.asarray(a_bc.todense()), dtype=dt)
                     lu, piv = jax.jit(jax.scipy.linalg.lu_factor)(a_dense)
                     self._solver_kinds.append("lapack")
@@ -249,7 +254,8 @@ class Stepper:
                     fbytes = np.dtype(dt).itemsize
                     n_pad = n + (-n) % self.block_lu_bs
                     budget = device_hbm_budget_bytes() * 0.75
-                    if fbytes * n_pad * n_pad <= budget:
+                    if (fbytes * n_pad * n_pad <= budget
+                            and not self.force_substructure):
                         from flowcontrol_tpu.solvers.block_lu import (
                             BlockLU,
                             block_lu_inverse_t,
@@ -531,6 +537,9 @@ class Stepper:
         # hooks overridable by parallel.sharding.shard_stepper
         self._apply_hook = None
         self._nl_hook = None
+        # per-order-index solve hooks (rhs -> x): installed by
+        # parallel.sharding.shard_stepper to distribute the direct solve
+        self._solve_hooks: dict = {}
 
     # ── Pure step math (traceable; dev passed explicitly) ───────────────────
 
@@ -594,6 +603,8 @@ class Stepper:
         )
 
     def _dense_solve_once(self, dev, oi, rhs):
+        if oi in self._solve_hooks:
+            return self._solve_hooks[oi](rhs)
         if self._solver_kinds[oi] == "lapack":
             return dense_lu_solve(dev["solvers"][oi], rhs)
         if self._solver_kinds[oi] == "block_inv":
@@ -901,6 +912,16 @@ class Stepper:
     def make_rollout_closed_loop(self, num_steps: int, feedback_sign: float = -1.0):
         """Build a jitted fused closed-loop rollout; vmap-able over
         (carry, k_mats, y0) for batched controller synthesis."""
+        roll = self.closed_loop_fn(num_steps, feedback_sign)
+        return self._wrap_exec_device(
+            partial(jax.jit(roll, static_argnums=()), self._dev)
+        )
+
+    def closed_loop_fn(self, num_steps: int, feedback_sign: float = -1.0):
+        """Unjitted fused closed-loop rollout (dev, carry, k_mats, y0) ->
+        (carry, (y, dE, u, diverged)) — for callers that need to lower/
+        compile with custom options (e.g. the multi-chip dryrun's raised
+        XLA-CPU collective timeouts)."""
         step = self.step_fn()
 
         def roll(dev, carry, k_mats, y0):
@@ -927,6 +948,4 @@ class Stepper:
             )
             return c, outs
 
-        return self._wrap_exec_device(
-            partial(jax.jit(roll, static_argnums=()), self._dev)
-        )
+        return roll

@@ -173,6 +173,27 @@ def shard_stepper(stepper, mesh: Mesh, axis: str = "space",
     stepper._apply_hook = lambda key, x: applies[key](x)
     stepper._nl_hook = nl
 
+    if stepper.backend == "dense_lu":
+        # distribute the DIRECT solve: multifrontal stage stacks sharded
+        # over 'space' so per-device factor memory is O(total/n_dev) —
+        # the reference's entire distribution story is memory-scaling
+        # domain decomposition (ref: flowsolver.py:236-238, SURVEY §2.5-1)
+        from flowcontrol_tpu.parallel.mf_sharded import ShardedMultifrontal
+
+        stepper._sharded_solvers = {}
+        for oi, kind in enumerate(stepper._solver_kinds):
+            if kind != "multifrontal":
+                continue
+            smf = ShardedMultifrontal(
+                dev["solvers"][oi], stepper._schur_static[oi], mesh,
+                axis=axis, batch_axis=batch_axis,
+            )
+            stepper._sharded_solvers[oi] = smf
+            stepper._solve_hooks[oi] = smf.solve
+            # the replicated stage stacks are no longer read by the jitted
+            # step (the hook closes over the sharded copies) — drop them
+            dev["solvers"][oi] = ()
+
     if stepper.backend in ("gmres", "bicgstab"):
         from flowcontrol_tpu.solvers.krylov import (
             HookedOperator,

@@ -408,6 +408,16 @@ class MultifrontalLU:
         never appear in the solve (scatter inside lax.scan is the known
         TPU compile killer; the first scatter-based version of this solve
         hit a 68 GB compile-time OOM at 235k dofs).
+
+        Forward-sweep updates flow through per-stage INBOX tables over a
+        compact contribution buffer, not total-wide delta vectors: every
+        stage writes its boundary updates (m·b_max values) into its slice
+        of one flat buffer, and a consuming stage gathers ONLY the
+        contributions addressed to its own elim slots. TPU gathers run
+        near scalar speed, so gather volume is the solve's real cost:
+        total-wide per-stage tables cost n_stages × total × kmax gathered
+        elements (~36M at the 235k cavity) while the inboxes cost
+        Σ contributions (~1-2M) — measured 10-30× less gather traffic.
         """
         n = self.n
         depths = payload["depth_order"]
@@ -436,38 +446,62 @@ class MultifrontalLU:
             flat = payload[f"elim_{di}"].reshape(-1)
             perm[offsets[di]: offsets[di] + flat.size] = flat
 
+        # contribution buffer layout: stage si's updates occupy
+        # [c_off_si, c_off_si + m*b_max); dest slot of every contribution
+        c_offsets = []
+        total_contrib = 0
+        dest_parts = []
+        for di in range(self.n_depths):
+            bd_idx = payload[f"bd_{di}"]
+            bd_slots = slot_of[np.minimum(bd_idx, n)]  # (m, b_max)
+            c_offsets.append(total_contrib)
+            total_contrib += bd_slots.size
+            dest_parts.append(bd_slots.reshape(-1))
+        dest = np.concatenate(dest_parts) if dest_parts else np.zeros(0, int)
+        self.total_contrib = total_contrib
+
         dev = {
             "perm": jnp.asarray(perm),
             "ipos": jnp.asarray(slot_of[:n]),
             "stages": [],
         }
         self._stage_static = []
+        table_bytes = 0
         for di in range(self.n_depths):
             elim_idx = payload[f"elim_{di}"]
             bd_idx = payload[f"bd_{di}"]
             bd_slots = slot_of[np.minimum(bd_idx, n)]  # (m, b_max)
-            # gather-table (transposed scatter) for the forward bd update —
-            # collisions (siblings sharing ancestor separator dofs) sum.
-            # Built over REAL contributions only: bd padding all maps to
-            # the one trash slot, which would drive the table width to the
-            # total pad count (~16k) and the table to tens of GB. Stored
-            # TRANSPOSED (kmax, total+1): TPU pads the minor-most dim to
-            # 128 lanes, so a (total+1, kmax~3) layout balloons ~40x.
-            table = _table_skip_pads(bd_slots.reshape(-1), total)
+            # INBOX: contribution positions addressed to this stage's slot
+            # range, localized. Pad value is total_contrib (the appended
+            # zero of the buffer). Contributions to this stage only come
+            # from deeper (already-executed) stages, so the buffer holds
+            # them all by the time this stage gathers. Stored TRANSPOSED
+            # (kmax, width): TPU pads the minor-most dim to 128 lanes, so
+            # a (width, kmax~small) layout balloons ~40x.
+            width = elim_idx.size
+            off = offsets[di]
+            dloc = dest - off
+            dloc = np.where((dest >= off) & (dloc < width), dloc, width)
+            inbox = _table_skip_pads(dloc, width)
+            table_bytes += inbox.nbytes // 2  # int32 on device
             stage = {
                 "bd": jnp.asarray(bd_slots.astype(np.int32)),
                 "inv": jnp.asarray(payload[f"inv_{di}"]),
                 "fib": jnp.asarray(payload[f"fib_{di}"]),
                 "fbi": jnp.asarray(payload[f"fbi_{di}"]),
-                "bd_table_t": jnp.asarray(
-                    np.ascontiguousarray(table.T.astype(np.int32))
+                "inbox_t": jnp.asarray(
+                    np.ascontiguousarray(inbox.T.astype(np.int32))
                 ),
             }
             dev["stages"].append(stage)
             self._stage_static.append(
                 (elim_idx.shape[1], bd_idx.shape[1], elim_idx.shape[0],
-                 offsets[di])
+                 offsets[di], c_offsets[di])
             )
+        logger.info(
+            "multifrontal: %d contributions, inbox tables %.1f MB",
+            total_contrib, table_bytes / 2**20,
+        )
         self._dev = dev
 
     # ── public API ──────────────────────────────────────────────────────────
@@ -477,6 +511,7 @@ class MultifrontalLU:
 
     def static(self):
         return dict(n=self.n, total=self.total_slots,
+                    total_contrib=self.total_contrib,
                     stages=tuple(self._stage_static))
 
     def solve(self, b):
@@ -512,15 +547,18 @@ def _gather_sum_t(contrib, table_t):
     return jnp.take(padded, table_t, axis=-1).sum(axis=-2)
 
 
-@partial(jax.jit, static_argnames=("n", "total", "stages"))
-def multifrontal_solve(dev, b, n: int, total: int, stages):
+@partial(jax.jit, static_argnames=("n", "total", "total_contrib", "stages"))
+def multifrontal_solve(dev, b, n: int, total: int, total_contrib: int,
+                       stages):
     """x = A^-1 b; b may carry leading batch dims.
 
     Work vector in slot order (see _unpack). Forward sweep (leaves->root):
-    z_v = inv_ii x[elim_v]; x[bd_v] -= F_bi z_v, writing z into the
-    stage's contiguous block. Backward (root->leaves):
+    xe_v = b[elim_v] − (inbox gather of deeper stages' boundary updates);
+    z_v = inv_ii xe_v, written into the stage's contiguous block; the
+    stage's own updates F_bi z_v land in its slice of the flat
+    contribution buffer. Backward (root->leaves):
     x[elim_v] = z_v - inv_ii (F_ib x[bd_v]). No scatters: slice writes +
-    gather-table reductions only.
+    compact gather-table reductions only.
     """
     batch = b.shape[:-1]
     dtype = dev["stages"][0]["inv"].dtype
@@ -535,21 +573,24 @@ def multifrontal_solve(dev, b, n: int, total: int, stages):
         [bext[..., dev["perm"]], jnp.zeros(batch + (1,), dtype=dtype)],
         axis=-1,
     )
+    # flat boundary-update buffer (stage si writes [c_off, c_off + m*b_max))
+    buf = jnp.zeros(batch + (total_contrib,), dtype=dtype)
 
     n_stages = len(stages)
     # forward: deepest stages first (stage list is ordered deep -> root)
     for si in range(n_stages):
         st = dev["stages"][si]
-        e_max, b_max, m, off = stages[si]
+        e_max, b_max, m, off, c_off = stages[si]
         xe = jax.lax.dynamic_slice_in_dim(
             x, off, m * e_max, axis=-1
-        ).reshape(batch + (m, e_max))
+        )
+        inc = _gather_sum_t(buf, st["inbox_t"])[..., : m * e_max]
+        xe = (xe - inc).reshape(batch + (m, e_max))
         z = jnp.einsum("mij,...mj->...mi", st["inv"], xe)
         upd = jnp.einsum("mbi,...mi->...mb", st["fbi"], z)
-        delta = _gather_sum_t(
-            upd.reshape(batch + (-1,)), st["bd_table_t"]
+        buf = jax.lax.dynamic_update_slice_in_dim(
+            buf, upd.reshape(batch + (m * b_max,)), c_off, axis=-1
         )
-        x = x - delta
         # store z in the stage's contiguous block (static slice update;
         # no later forward stage reads it)
         x = jax.lax.dynamic_update_slice_in_dim(
@@ -559,7 +600,7 @@ def multifrontal_solve(dev, b, n: int, total: int, stages):
     # backward: root first
     for si in reversed(range(n_stages)):
         st = dev["stages"][si]
-        e_max, b_max, m, off = stages[si]
+        e_max, b_max, m, off, c_off = stages[si]
         xb = x[..., st["bd"]]  # gather: ancestor slots are final
         corr = jnp.einsum("mib,...mb->...mi", st["fib"], xb)
         corr = jnp.einsum("mij,...mj->...mi", st["inv"], corr)

@@ -1,0 +1,117 @@
+"""Distributed multifrontal solve: sharded-vs-single agreement + per-device
+factor-memory scaling (the reference's MPI domain decomposition analogue,
+ref: src/flowcontrol/flowsolver.py:236-238, SURVEY §2.5-1)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from jax.sharding import Mesh
+
+from flowcontrol_tpu.fem.assembly import to_scipy_csr
+from flowcontrol_tpu.parallel.dofsharding import mixed_dof_coordinates
+from flowcontrol_tpu.parallel.mf_sharded import ShardedMultifrontal
+from flowcontrol_tpu.solvers.multifrontal import MultifrontalLU
+
+
+@pytest.fixture(scope="module")
+def small_system():
+    """BC-eliminated BDF2 matrix of a small lid cavity (f64)."""
+    from flowcontrol_tpu.models.lidcavity import LidCavityFlowSolver
+
+    fs = LidCavityFlowSolver.make_default(
+        Re=500, num_steps=1, verbose=0, n_mesh=14,
+        solver_backend="host_lu", precision="f64",
+    )
+    fs.compute_steady_state(u_ctrl=[0.0], method="picard", max_iter=3)
+    bcs = fs._bcset_perturbation()
+    lhs_e = fs.forms.transient_lhs(2, fs.fields.U0)
+    a_csr = to_scipy_csr(lhs_e, fs.space.cell_dofs, fs.space.n_dofs)
+    a_bc, _ = bcs.eliminate_csr(a_csr)
+    return a_bc, mixed_dof_coordinates(fs.space)
+
+
+def _mesh(n_dev):
+    devs = jax.devices()
+    assert len(devs) >= n_dev, devs
+    return Mesh(np.array(devs[:n_dev]), ("space",))
+
+
+def test_sharded_solve_matches_single(small_system, tmp_path, monkeypatch):
+    monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
+    a_bc, coords = small_system
+    mf = MultifrontalLU(a_bc, coords, leaf_max=250, dtype=jax.numpy.float64)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(a_bc.shape[0])
+    x_single = np.asarray(mf.solve(b))
+
+    smf = ShardedMultifrontal(mf.tree(), mf.static(), _mesh(4))
+    x_sharded = np.asarray(smf.solve(jax.numpy.asarray(b)))
+    rel = np.linalg.norm(x_sharded - x_single) / np.linalg.norm(x_single)
+    assert rel < 1e-12, rel
+
+    # the memory-scaling claim: per-device resident factor bytes shrink
+    # with device count (vs the replicated dense-LU path). Compare against
+    # the UNPADDED single-device factor size — per-stage ceil(m/n_dev)
+    # padding means consecutive device counts need not differ at toy scale,
+    # but the 4-way shard must hold well under half the replicated factors.
+    assert smf.per_device_factor_bytes * 4 == smf.total_factor_bytes
+    single_bytes = sum(
+        np.asarray(st[k]).nbytes
+        for st in mf.tree()["stages"] for k in ("inv", "fib", "fbi")
+    )
+    assert smf.per_device_factor_bytes < 0.5 * single_bytes, (
+        smf.per_device_factor_bytes, single_bytes,
+    )
+
+
+def test_sharded_solve_batched_rhs(small_system, tmp_path, monkeypatch):
+    monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
+    a_bc, coords = small_system
+    mf = MultifrontalLU(a_bc, coords, leaf_max=250, dtype=jax.numpy.float64)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal((3, a_bc.shape[0]))
+    smf = ShardedMultifrontal(mf.tree(), mf.static(), _mesh(2))
+    x = np.asarray(smf.solve(jax.numpy.asarray(b)))
+    x_single = np.asarray(mf.solve(b))
+    for i in range(b.shape[0]):  # normwise: entries span many magnitudes
+        rel = np.linalg.norm(x[i] - x_single[i]) / np.linalg.norm(x_single[i])
+        assert rel < 1e-12, (i, rel)
+
+
+def test_shard_stepper_distributes_direct_solve(tmp_path, monkeypatch):
+    """End-to-end: a force_substructure stepper sharded over 'space' runs
+    the DISTRIBUTED multifrontal solve inside the jitted step and matches
+    the unsharded step to f64 accuracy."""
+    from flowcontrol_tpu.models.lidcavity import LidCavityFlowSolver
+    from flowcontrol_tpu.parallel.sharding import shard_stepper
+
+    monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
+
+    def build():
+        fs = LidCavityFlowSolver.make_default(
+            Re=500, num_steps=3, verbose=0, n_mesh=12,
+            path_out=tmp_path / "out",
+            solver_backend="dense_lu", precision="f64",
+            stepper_options={"force_substructure": True},
+        )
+        fs.compute_steady_state(u_ctrl=[0.0], method="picard", max_iter=3)
+        fs.initialize_time_stepping()
+        fs.stepper  # force _prepare_systems
+        return fs
+
+    fs = build()
+    assert "multifrontal" in fs._stepper._solver_kinds
+    for _ in range(3):
+        y_ref = fs.step(np.array([0.01]))
+    x_ref = np.asarray(fs.fields.up_)
+
+    fs2 = build()
+    shard_stepper(fs2._stepper, _mesh(4), axis="space")
+    assert fs2._stepper._solve_hooks, "sharded solver not installed"
+    for _ in range(3):
+        y = fs2.step(np.array([0.01]))
+    x = np.asarray(fs2.fields.up_)
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-10
+    assert np.allclose(y, y_ref, rtol=1e-9, atol=1e-12)
