@@ -45,10 +45,18 @@ from flowcontrol_tpu.solvers.direct import HostSparseLU, dense_lu_solve
 
 
 class StepCarry(NamedTuple):
-    """Scan carry: history fields + AB2 cache + iteration counter."""
+    """Scan carry: history fields + AB2 cache + iteration counter.
+
+    mu_n/mu_nn carry M@u forward across steps: the step needs M@x anyway
+    (dE = ½xᵀMx) and M is constant, so caching it turns the three mass
+    applies per step (M u_n, M u_nn in the RHS + M x for dE — each a full
+    gather/scatter element pass, the measured per-step bottleneck) into
+    ONE, bit-exactly."""
 
     u_n: jnp.ndarray  # mixed state at step k (n,)
     u_nn: jnp.ndarray  # mixed state at step k-1 (n,)
+    mu_n: jnp.ndarray  # M @ u_n (cached mass apply)
+    mu_nn: jnp.ndarray  # M @ u_nn
     n_prev: jnp.ndarray  # N(u_nn) cached from previous step (n,)
     u_ctrl_prev: jnp.ndarray  # previous control (CN body-force averaging)
     it: jnp.ndarray  # iteration counter (int32)
@@ -569,9 +577,9 @@ class Stepper:
         (XLA CPU aborts in AllReduceThunk under ConditionalThunk).
         ``oi_sel(seq)`` selects the per-order lift vectors.
         """
-        rhs = c["c_mn"] * self._apply(dev, "m", carry.u_n)
+        rhs = c["c_mn"] * carry.mu_n
         if c["c_mnn"] is not None:
-            rhs = rhs + c["c_mnn"] * self._apply(dev, "m", carry.u_nn)
+            rhs = rhs + c["c_mnn"] * carry.mu_nn
         if c["c_nl_n"] is not None:
             rhs = rhs + c["c_nl_n"] * nl_n
         if c["c_nl_nn"] is not None:
@@ -803,11 +811,16 @@ class Stepper:
                     rhs,
                 )
             y = x @ dev["c"].T
-            de = 0.5 * jnp.einsum("...i,...i->...", x, self._apply(dev, "m", x))
+            # the ONE mass apply of the step: feeds dE now and the next
+            # step's RHS via the carry (see StepCarry docstring)
+            mx = self._apply(dev, "m", x)
+            de = 0.5 * jnp.einsum("...i,...i->...", x, mx)
             diverged = ~jnp.all(jnp.isfinite(x), axis=-1)
             new_carry = StepCarry(
                 u_n=x,
                 u_nn=carry.u_n,
+                mu_n=mx,
+                mu_nn=carry.mu_n,
                 n_prev=nl_n,
                 u_ctrl_prev=u_ctrl,
                 it=carry.it + 1,
@@ -826,9 +839,13 @@ class Stepper:
         u0 = jnp.asarray(up0, dtype=self.dtype)
         um1 = u0 if up_prev is None else jnp.asarray(up_prev, dtype=self.dtype)
         nprev = self._nl(self._dev, um1)
+        mu0 = self._apply(self._dev, "m", u0)
+        mum1 = mu0 if up_prev is None else self._apply(self._dev, "m", um1)
         return StepCarry(
             u_n=u0,
             u_nn=um1,
+            mu_n=mu0,
+            mu_nn=mum1,
             n_prev=nprev,
             u_ctrl_prev=jnp.zeros(u0.shape[:-1] + (self.n_act,), dtype=self.dtype),
             it=jnp.asarray(0, dtype=jnp.int32),
