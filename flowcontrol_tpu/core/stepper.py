@@ -143,6 +143,11 @@ class Stepper:
     #: multifrontal solve (parallel/mf_sharded.py)
     force_substructure: bool = False
     dense_operators: bool | None = None  # mass/lvel applies as dense matmuls
+    #: window-banded (RCM) mass/lvel applies — no gathers, ~2.8x faster than
+    #: the gather-table element apply at stock scale (ops/banded.py). None =
+    #: auto: on for accelerator backends when the mesh is past the dense
+    #: operator range.
+    banded_operators: bool | None = None
     trisolve: str = "xla"  # 'xla' (blocked matmuls) | 'pallas' (fused kernel)
     block_lu_bs: int = 1024
     #: above this size, XLA's LU custom call exhausts VMEM on v5e — use our
@@ -532,6 +537,33 @@ class Stepper:
                     ),
                     dtype=dt,
                 )
+        # window-banded applies: the zero-gather middle ground past the
+        # dense-matmul range (see ops/banded.py)
+        dev["m_banded"] = None
+        dev["lvel_banded"] = None
+        if self.banded_operators is None:
+            self.banded_operators = (
+                not self.dense_operators
+                and n > 20_000
+                and jax.default_backend() != "cpu"
+            )
+        if self.banded_operators:
+            from flowcontrol_tpu.ops.banded import build_banded
+
+            dev["m_banded"] = build_banded(
+                to_scipy_csr(forms.mass_elements(), space.cell_dofs, n),
+                dtype=dt,
+            )
+            if dev["lvel_e"] is not None:
+                dev["lvel_banded"] = build_banded(
+                    to_scipy_csr(
+                        forms.velocity_operator_elements(
+                            u0, include_shift=False
+                        ),
+                        space.cell_dofs, n,
+                    ),
+                    dtype=dt,
+                )
         dev["c"] = jnp.asarray(self.c_rows, dtype=dt)
         dev["f_cols"] = jnp.asarray(self.force_cols, dtype=dt)
         dev["bc_values"] = jnp.asarray(bcs.values, dtype=dt)
@@ -554,6 +586,11 @@ class Stepper:
     def _apply(self, dev, key, x):
         if self._apply_hook is not None:
             return self._apply_hook(key, x)
+        banded = dev["m_banded"] if key == "m" else dev["lvel_banded"]
+        if banded is not None:
+            from flowcontrol_tpu.ops.banded import banded_matvec
+
+            return banded_matvec(banded, x)
         dense = dev["m_dense"] if key == "m" else dev["lvel_dense"]
         if dense is not None:
             return x @ dense.T

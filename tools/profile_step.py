@@ -1,0 +1,100 @@
+"""Component-level timing of the single-stream step on the stock O1 mesh.
+
+Times, per executed iteration on the accelerator (batch=1):
+  - full step        (the production step_fn, scanned)
+  - solve only       (the multifrontal direct solve)
+  - rhs only         (mass/lvel element applies + lifting)
+  - nl only          (the nonlinear convection quadrature kernel)
+  - m-apply only     (one mass element apply)
+so the single-stream latency budget (VERDICT r2 item 3) is attributable,
+not guessed. Ref hot loop being matched:
+/root/reference/src/flowcontrol/flowsolver.py:703-799.
+"""
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from flowcontrol_tpu.models.cylinder import CylinderFlowSolver
+
+O1 = Path("/root/reference/src/examples/cylinder/data_input/O1.xdmf")
+REPS = 50
+
+
+def timed(fn, *args, reps=REPS):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps * 1e3  # ms
+
+
+def main():
+    fs = CylinderFlowSolver.make_default(
+        Re=100, meshpath=O1, num_steps=10, save_every=0,
+        path_out=Path("/tmp/profile_step"), verbose=10,
+        solver_backend="dense_lu", precision="f32",
+    )
+    fs.compute_steady_state(u_ctrl=[0.0, 0.0], method="picard", max_iter=2)
+    fs.initialize_time_stepping()
+    st = fs.stepper  # lazily prepares systems + carry
+    dev = st._dev
+    n = st.space.n_dofs
+
+    carry = fs._carry
+    u_ctrl = jnp.zeros((st.n_act,), dtype=st.dtype)
+
+    step = jax.jit(st.step_fn())
+    t_step = timed(lambda: step(dev, carry, u_ctrl)[0].u_n)
+
+    rhs_f = jax.jit(lambda d, c, u, nl: st._rhs(d, 2, c, u, nl))
+    nl_f = jax.jit(lambda d, x: st._nl(d, x))
+    nl0 = nl_f(dev, carry.u_n)
+    t_nl = timed(lambda: nl_f(dev, carry.u_n))
+    t_rhs = timed(lambda: rhs_f(dev, carry, u_ctrl, nl0))
+
+    rhs0 = rhs_f(dev, carry, u_ctrl, nl0)
+    oi = len(st._solver_kinds) - 1
+    solve_f = jax.jit(lambda d, b: st._dense_solve_once(d, oi, b))
+    t_solve = timed(lambda: solve_f(dev, rhs0))
+
+    m_f = jax.jit(lambda d, x: st._apply(d, "m", x))
+    t_m = timed(lambda: m_f(dev, carry.u_n))
+    try:
+        lvel_f = jax.jit(lambda d, x: st._apply(d, "lvel", x))
+        t_lvel = timed(lambda: lvel_f(dev, carry.u_n))
+    except Exception:
+        t_lvel = float("nan")
+
+    try:
+        resid_f = jax.jit(lambda d, b, x: st._residual(d, oi, b, x))
+        x0 = solve_f(dev, rhs0)
+        t_res = timed(lambda: resid_f(dev, rhs0, x0))
+    except Exception:
+        t_res = float("nan")
+
+    print(f"n_dofs={n}  platform={jax.devices()[0].platform}")
+    print(f"full step : {t_step:7.3f} ms  ({1e3 / t_step:6.1f} steps/s)")
+    print(f"  solve   : {t_solve:7.3f} ms")
+    print(f"  rhs     : {t_rhs:7.3f} ms")
+    print(f"  nl conv : {t_nl:7.3f} ms")
+    print(f"  m apply : {t_m:7.3f} ms")
+    print(f"  lvel    : {t_lvel:7.3f} ms")
+    print(f"  residual: {t_res:7.3f} ms")
+    acc = t_solve + t_rhs + t_nl
+    print(f"  sum(solve+rhs+nl) = {acc:.3f} ms; step - sum = "
+          f"{t_step - acc:.3f} ms (sensors, carry, dispatch)")
+
+
+if __name__ == "__main__":
+    main()
