@@ -148,6 +148,12 @@ class Stepper:
     #: auto: on for accelerator backends when the mesh is past the dense
     #: operator range.
     banded_operators: bool | None = None
+    #: window-blocked nonlinear convection — replaces the global gather +
+    #: gather-table scatter of N(u) with per-cell-block static node windows
+    #: (ops/cellwindows.py). None = auto: same regime as banded_operators.
+    #: 'onehot' = on-the-fly one-hot matmul picks, 'take' = in-window
+    #: dynamic picks, False/None-auto-off = gather-table path.
+    windowed_nl: str | bool | None = None
     trisolve: str = "xla"  # 'xla' (blocked matmuls) | 'pallas' (fused kernel)
     block_lu_bs: int = 1024
     #: above this size, XLA's LU custom call exhausts VMEM on v5e — use our
@@ -564,6 +570,32 @@ class Stepper:
                     ),
                     dtype=dt,
                 )
+        # window-blocked N(u): zero global gathers in the one u-dependent
+        # element pass of the step (ops/cellwindows.py)
+        dev["nl_win"] = None
+        if self.windowed_nl is None:
+            # opt-in until the on-device profile confirms XLA fuses the
+            # on-the-fly one-hot into the window matmuls (if it materializes
+            # the mask in HBM instead, the gather path wins) — flip to the
+            # banded_operators auto rule once measured
+            self.windowed_nl = False
+        self._nl_win_static = None
+        if self.windowed_nl:
+            from flowcontrol_tpu.ops.cellwindows import build_cell_windows
+
+            built = build_cell_windows(
+                space.cell_vel_nodes, space.n_vnodes,
+                {
+                    "wq": forms.geom.wq,
+                    "dphi2": forms.geom.dphi2,
+                    "phi2": forms.geom.phi2,
+                },
+                dtype=dt,
+            )
+            if built is not None:
+                dev["nl_win"], self._nl_win_static = built
+                if isinstance(self.windowed_nl, str):
+                    self._nl_win_static["variant"] = self.windowed_nl
         dev["c"] = jnp.asarray(self.c_rows, dtype=dt)
         dev["f_cols"] = jnp.asarray(self.force_cols, dtype=dt)
         dev["bc_values"] = jnp.asarray(bcs.values, dtype=dt)
@@ -604,6 +636,14 @@ class Stepper:
             return jnp.zeros_like(x)
         if self._nl_hook is not None:
             return self._nl_hook(x)
+        if dev.get("nl_win") is not None:
+            from flowcontrol_tpu.ops.cellwindows import (
+                nonlinear_convection_windowed,
+            )
+
+            return nonlinear_convection_windowed(
+                dev["nl_win"], self._nl_win_static, x, self.space.n_dofs
+            )
         return nonlinear_convection_gather(dev["geom"], self.space, dev["gt_vel"], x)
 
     def _rhs_from_coeffs(self, dev, c, oi_sel, carry: StepCarry, u_ctrl, nl_n):

@@ -1,0 +1,175 @@
+"""Window-blocked cell kernels: the nonlinear convection term with no
+global gathers.
+
+The hot step's one remaining u-dependent element pass is N(u) = ∫((u·∇)u)·v:
+gather u at each cell's 6 velocity nodes, per-cell quadrature einsums,
+scatter-add 12 values per cell (fem/assembly.nonlinear_convection_gather —
+the reference's per-step RHS reassembly, ref: src/flowcontrol/
+flowsolver.py:739-771). The global gather + gather-table scatter are the
+measured cost (~2-3 ms/step at 56k dofs on v5e); the quadrature flops are
+trivial.
+
+This module exploits the mesh's native spatial dof coherence (P2 nodes are
+numbered coherently — see the round-2 no-op-reordering finding): sort cells
+by their smallest velocity node and block them 128 at a time, and each
+block's 768 node picks fall inside a short static node window. The apply
+becomes
+
+    pad -> per-block static window rows (128-node granularity) ->
+    in-window pick -> per-cell quadrature -> in-window scatter ->
+    per-block window rows scatter-add (128-node granularity)
+
+with two in-window pick/scatter variants:
+
+- ``onehot``: build the (768, W) one-hot mask on the fly from an
+  iota==index compare and contract with a matmul — the standard TPU
+  embedding trick; zero data-dependent addressing anywhere.
+- ``take``: jnp.take_along_axis / at[].add inside the (W, 2) window —
+  still dynamic addressing but over a VMEM-sized operand.
+
+Builds whose window width exceeds ``max_width`` return None so callers
+fall back to the gather-table path.
+"""
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+_RC = 128  # cell-block height
+_RN = 128  # node-window row granularity
+
+
+def build_cell_windows(cell_vel_nodes: np.ndarray, n_vnodes: int,
+                       geom_tables: dict, dtype=np.float32,
+                       max_width: int = 8192):
+    """Host-side build: (nc, 6) node ids -> window-blocked static meta.
+
+    ``geom_tables``: the per-cell quadrature arrays (wq (nc, q),
+    dphi2 (nc, q, 6, 2)) plus the shared phi2 (q, 6); they are re-ordered
+    to the window cell order here (padded cells get wq=0, so their
+    contributions vanish identically — no masking needed downstream).
+    """
+    cvn = np.asarray(cell_vel_nodes)
+    nc, n_loc = cvn.shape
+    order = np.argsort(cvn.min(axis=1), kind="stable")
+    cvn_o = cvn[order]
+    nb = (nc + _RC - 1) // _RC
+    nc_pad = nb * _RC
+    # pad with copies of the last cell's nodes; padded wq rows are zero
+    pad = np.broadcast_to(cvn_o[-1:], (nc_pad - nc, n_loc))
+    cvn_p = np.concatenate([cvn_o, pad], axis=0).reshape(nb, _RC, n_loc)
+    lo = cvn_p.reshape(nb, -1).min(axis=1)
+    hi = cvn_p.reshape(nb, -1).max(axis=1)
+    lo_a = (lo // _RN) * _RN
+    w_max = int((hi - lo_a + 1).max()) if nb else 1
+    w = ((w_max + _RN - 1) // _RN) * _RN
+    if w > max_width:
+        logger.info(
+            "cell-window build skipped: width %d > cap %d (n_vnodes=%d)",
+            w, max_width, n_vnodes,
+        )
+        return None
+    rel = cvn_p - lo_a[:, None, None]  # (nb, RC, n_loc), all in [0, w)
+    wb = w // _RN
+    win = (lo_a // _RN)[:, None] + np.arange(wb)[None, :]  # (nb, wb)
+    n_rows = (n_vnodes + _RN - 1) // _RN + wb  # padded row count
+    logger.info(
+        "cell windows: nc=%d blocks=%d width=%d (rows %d)", nc, nb, w, n_rows
+    )
+    wq = np.asarray(geom_tables["wq"])[order]
+    dphi2 = np.asarray(geom_tables["dphi2"])[order]
+    nq = wq.shape[1]
+    wq_p = np.concatenate([wq, np.zeros((nc_pad - nc, nq), wq.dtype)])
+    dphi2_p = np.concatenate(
+        [dphi2, np.zeros((nc_pad - nc,) + dphi2.shape[1:], dphi2.dtype)]
+    )
+    # split: device arrays (safe as a traced jit-argument pytree) vs static
+    # meta (python ints/str — shapes and variant; must NOT be traced)
+    tree = {
+        "rel": jnp.asarray(rel.reshape(nb, _RC * n_loc), dtype=jnp.int32),
+        "win": jnp.asarray(win, dtype=jnp.int32),
+        "wq": jnp.asarray(wq_p, dtype=dtype),
+        "dphi2": jnp.asarray(dphi2_p, dtype=dtype),
+        "phi2": jnp.asarray(np.asarray(geom_tables["phi2"]), dtype=dtype),
+    }
+    static = {
+        "n_vnodes": n_vnodes,
+        "n_loc": n_loc,
+        "w": w,
+        "n_rows": n_rows,
+        "variant": "onehot",
+    }
+    return tree, static
+
+
+def _window_rows(tree, static, u_nodes):
+    """(..., n_vnodes, 2) -> (..., nb, w, 2) per-block window slices."""
+    w, n_rows = static["w"], static["n_rows"]
+    n_vnodes = static["n_vnodes"]
+    batch = u_nodes.shape[:-2]
+    pad = n_rows * _RN - n_vnodes
+    up = jnp.concatenate(
+        [u_nodes, jnp.zeros(batch + (pad, 2), dtype=u_nodes.dtype)], axis=-2
+    )
+    rows = up.reshape(batch + (n_rows, _RN, 2))
+    uwin = jnp.take(rows, tree["win"], axis=-3)  # (..., nb, wb, RN, 2)
+    return uwin.reshape(batch + (tree["win"].shape[0], w, 2))
+
+
+def nonlinear_convection_windowed(tree, static, u_mixed, n_dofs: int):
+    """N(u) through the window blocks. Supports leading batch dims."""
+    n_vnodes, n_loc, w = static["n_vnodes"], static["n_loc"], static["w"]
+    nb = tree["win"].shape[0]
+    batch = u_mixed.shape[:-1]
+    dt = u_mixed.dtype
+    u_nodes = u_mixed[..., : 2 * n_vnodes].reshape(batch + (n_vnodes, 2))
+    uwin = _window_rows(tree, static, u_nodes)  # (..., nb, w, 2)
+
+    if static["variant"] == "onehot":
+        oh = (tree["rel"][:, :, None]
+              == jnp.arange(w, dtype=jnp.int32)[None, None, :]).astype(dt)
+        u_e = jnp.einsum("bmw,...bwd->...bmd", oh, uwin)
+    else:  # 'take': in-window dynamic pick
+        u_e = jnp.take_along_axis(
+            uwin,
+            jnp.broadcast_to(
+                tree["rel"][..., None], batch + (nb, _RC * n_loc, 1)
+            ).astype(jnp.int32),
+            axis=-2,
+        )
+    u_e = u_e.reshape(batch + (nb * _RC, n_loc, 2))
+
+    # per-cell quadrature (same math as fem.assembly._nonlinear_contributions,
+    # on the window-ordered geometry; padded cells have wq=0 => r_e=0)
+    u_q = jnp.einsum("qn,...cnd->...cqd", tree["phi2"], u_e)
+    g_q = jnp.einsum("cqni,...cnd->...cqid", tree["dphi2"], u_e)
+    conv_q = jnp.einsum("...cqi,...cqid->...cqd", u_q, g_q)
+    r_e = jnp.einsum("cq,qa,...cqd->...cad", tree["wq"], tree["phi2"], conv_q)
+    r_e = r_e.reshape(batch + (nb, _RC * n_loc, 2))
+
+    if static["variant"] == "onehot":
+        yw = jnp.einsum("bmw,...bmd->...bwd", oh, r_e)
+    else:
+        yw = jnp.zeros(batch + (nb, w, 2), dtype=dt).at[
+            ...,
+            jnp.arange(nb)[:, None],
+            tree["rel"],
+            :,
+        ].add(r_e)
+
+    n_rows = static["n_rows"]
+    yrows = jnp.zeros(batch + (n_rows, _RN, 2), dtype=dt)
+    wb = w // _RN
+    yrows = yrows.at[..., tree["win"], :, :].add(
+        yw.reshape(batch + (nb, wb, _RN, 2))
+    )
+    y_nodes = yrows.reshape(batch + (n_rows * _RN, 2))[..., :n_vnodes, :]
+    out = jnp.zeros(batch + (n_dofs,), dtype=dt)
+    return out.at[..., : 2 * n_vnodes].set(
+        y_nodes.reshape(batch + (2 * n_vnodes,))
+    )

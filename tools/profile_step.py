@@ -40,10 +40,19 @@ def timed(fn, *args, reps=REPS):
 
 
 def main():
+    import os
+
+    # experiment knobs: FC_WINDOWED_NL=onehot|take, FC_BANDED=0|1
+    opts = {}
+    if os.environ.get("FC_WINDOWED_NL"):
+        opts["windowed_nl"] = os.environ["FC_WINDOWED_NL"]
+    if os.environ.get("FC_BANDED"):
+        opts["banded_operators"] = os.environ["FC_BANDED"] == "1"
     fs = CylinderFlowSolver.make_default(
         Re=100, meshpath=O1, num_steps=10, save_every=0,
         path_out=Path("/tmp/profile_step"), verbose=10,
         solver_backend="dense_lu", precision="f32",
+        stepper_options=opts,
     )
     fs.compute_steady_state(u_ctrl=[0.0, 0.0], method="picard", max_iter=2)
     fs.initialize_time_stepping()
