@@ -86,7 +86,7 @@ class ShardedMultifrontal:
             e_max, b_max, m, off = stt[:4]
             st = mf_tree["stages"][si]
             inv = np.asarray(st["inv"])
-            fib = np.asarray(st["fib"])
+            ginv = np.asarray(st["ginv"])
             fbi = np.asarray(st["fbi"])
             bd = np.asarray(st["bd"], dtype=np.int64)
 
@@ -102,10 +102,10 @@ class ShardedMultifrontal:
                                   dtype=a.dtype)
                     return np.concatenate([a, pad], axis=0)
 
-                inv, fib, fbi = (pad_nodes(a) for a in (inv, fib, fbi))
+                inv, ginv, fbi = (pad_nodes(a) for a in (inv, ginv, fbi))
                 # pad nodes' bd slots point at the trash slot (== total)
                 bd = pad_nodes(bd, fill=total)
-                sharded_bytes += inv.nbytes + fib.nbytes + fbi.nbytes
+                sharded_bytes += inv.nbytes + ginv.nbytes + fbi.nbytes
 
                 # per-device transposed-scatter tables over the LOCAL bd
                 # contributions (global positions don't survive the split)
@@ -127,7 +127,7 @@ class ShardedMultifrontal:
 
                 stages_dev.append({
                     "inv": jax.device_put(jnp.asarray(inv), shard),
-                    "fib": jax.device_put(jnp.asarray(fib), shard),
+                    "ginv": jax.device_put(jnp.asarray(ginv), shard),
                     "fbi": jax.device_put(jnp.asarray(fbi), shard),
                     "bd": jax.device_put(
                         jnp.asarray(bd.astype(np.int32)), shard
@@ -142,14 +142,14 @@ class ShardedMultifrontal:
                 inv_rows = _pad_rows(
                     inv.reshape(m * e_max, e_max), n_dev
                 )
-                fib_rows = _pad_rows(
-                    fib.reshape(m * e_max, b_max), n_dev
+                ginv_rows = _pad_rows(
+                    ginv.reshape(m * e_max, b_max), n_dev
                 )
                 fbi_rows = _pad_rows(
                     fbi.reshape(m * b_max, e_max), n_dev
                 )
                 sharded_bytes += (
-                    inv_rows.nbytes + fib_rows.nbytes + fbi_rows.nbytes
+                    inv_rows.nbytes + ginv_rows.nbytes + fbi_rows.nbytes
                 )
                 # one FULL update table, replicated: every device holds the
                 # all_gather'd updates, so the delta is applied identically
@@ -159,7 +159,7 @@ class ShardedMultifrontal:
                 repl_bytes += table_t.nbytes + bd.nbytes
                 stages_dev.append({
                     "inv_rows": jax.device_put(jnp.asarray(inv_rows), shard),
-                    "fib_rows": jax.device_put(jnp.asarray(fib_rows), shard),
+                    "ginv_rows": jax.device_put(jnp.asarray(ginv_rows), shard),
                     "fbi_rows": jax.device_put(jnp.asarray(fbi_rows), shard),
                     "bd": jax.device_put(
                         jnp.asarray(bd.astype(np.int32)), repl
@@ -167,7 +167,7 @@ class ShardedMultifrontal:
                     "table_t": jax.device_put(jnp.asarray(table_t), repl),
                 })
                 st_specs.append(
-                    {"inv_rows": P(axis), "fib_rows": P(axis),
+                    {"inv_rows": P(axis), "ginv_rows": P(axis),
                      "fbi_rows": P(axis), "bd": P(), "table_t": P()}
                 )
                 stage_static.append(
@@ -294,8 +294,7 @@ class ShardedMultifrontal:
             if mode == "node":
                 m_loc = loc
                 xb = x[..., st["bd"]]  # (..., m_loc, b_max); ancestors final
-                corr = jnp.einsum("mib,...mb->...mi", st["fib"], xb)
-                corr = jnp.einsum("mij,...mj->...mi", st["inv"], corr)
+                corr = jnp.einsum("mib,...mb->...mi", st["ginv"], xb)
                 start = off + d * (m_loc * e_max)
                 z = jax.lax.dynamic_slice_in_dim(
                     x, start, m_loc * e_max, axis=-1
@@ -310,14 +309,9 @@ class ShardedMultifrontal:
                 rz_loc, _ = loc
                 xb = x[..., st["bd"]]  # (..., m, b_max) replicated
                 c_loc = self._gather_rows(
-                    st["fib_rows"], xb, d, rz_loc, e_max, m, batch
+                    st["ginv_rows"], xb, d, rz_loc, e_max, m, batch
                 )
-                corr1 = agather(c_loc)[..., : m * e_max]
-                corr1 = corr1.reshape(batch + (m, e_max))
-                c2_loc = self._gather_rows(
-                    st["inv_rows"], corr1, d, rz_loc, e_max, m, batch
-                )
-                corr2 = agather(c2_loc)[..., : m * e_max]
+                corr2 = agather(c_loc)[..., : m * e_max]
                 z = jax.lax.dynamic_slice_in_dim(
                     x, off, m * e_max, axis=-1
                 )

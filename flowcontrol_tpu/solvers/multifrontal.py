@@ -216,7 +216,7 @@ class MultifrontalLU:
         coords_digest = hashlib.sha256(
             np.ascontiguousarray(coords).tobytes()
         ).hexdigest()[:16]
-        key = fc_key(a_csr, "multifrontal-v3", leaf_max, np_store.name,
+        key = fc_key(a_csr, "multifrontal-v4", leaf_max, np_store.name,
                      coords_digest)
         cached = fc_load(key)
         if cached is not None and int(cached["n"]) == n:
@@ -335,17 +335,21 @@ class MultifrontalLU:
             )
             f_ib = f[:ne, ne:]
             f_bi = f[ne:, :ne]
+            # the backward sweep applies inv_ii @ f_ib as ONE stored
+            # operator (ginv): composed here in f64 (it is needed for the
+            # Schur update anyway) and rounded once — one einsum and one
+            # factor-stack read per stage instead of two (the inv stack,
+            # the largest one, is then read only by the forward sweep)
+            giv = inv_ii @ f_ib if ne else f_ib
             stats_flops += 2 * ne**3 / 3 + 2 * ne * ne * len(bd_full) * 2
             if len(bd_full):
-                updates[id(v)] = (
-                    bd_full, f[ne:, ne:] - f_bi @ (inv_ii @ f_ib)
-                )
+                updates[id(v)] = (bd_full, f[ne:, ne:] - f_bi @ giv)
             else:
                 updates[id(v)] = (bd_full, np.zeros((0, 0)))
             v.elim = elim_kept
             v.bd = bd_full
             v.inv_ii = inv_ii.astype(np_store)
-            v.f_ib = f_ib.astype(np_store)
+            v.ginv = giv.astype(np_store)
             v.f_bi = f_bi.astype(np_store)
         if n_delayed:
             logger.info("multifrontal: %d delayed pivots", n_delayed)
@@ -383,19 +387,19 @@ class MultifrontalLU:
             elim_idx = np.full((m, e_max), n, dtype=np.int64)
             bd_idx = np.full((m, b_max), n, dtype=np.int64)
             inv_ii = np.zeros((m, e_max, e_max), dtype=np_store)
-            f_ib = np.zeros((m, e_max, b_max), dtype=np_store)
+            g_inv = np.zeros((m, e_max, b_max), dtype=np_store)
             f_bi = np.zeros((m, b_max, e_max), dtype=np_store)
             for i, v in enumerate(group):
                 ne, nb = len(v.elim), len(v.bd)
                 elim_idx[i, :ne] = v.elim
                 bd_idx[i, :nb] = v.bd
                 inv_ii[i, :ne, :ne] = v.inv_ii
-                f_ib[i, :ne, :nb] = v.f_ib
+                g_inv[i, :ne, :nb] = v.ginv
                 f_bi[i, :nb, :ne] = v.f_bi
             payload[f"elim_{di}"] = elim_idx
             payload[f"bd_{di}"] = bd_idx
             payload[f"inv_{di}"] = inv_ii
-            payload[f"fib_{di}"] = f_ib
+            payload[f"ginv_{di}"] = g_inv
             payload[f"fbi_{di}"] = f_bi
         return payload
 
@@ -487,7 +491,7 @@ class MultifrontalLU:
             stage = {
                 "bd": jnp.asarray(bd_slots.astype(np.int32)),
                 "inv": jnp.asarray(payload[f"inv_{di}"]),
-                "fib": jnp.asarray(payload[f"fib_{di}"]),
+                "ginv": jnp.asarray(payload[f"ginv_{di}"]),
                 "fbi": jnp.asarray(payload[f"fbi_{di}"]),
                 "inbox_t": jnp.asarray(
                     np.ascontiguousarray(inbox.T.astype(np.int32))
@@ -602,8 +606,7 @@ def multifrontal_solve(dev, b, n: int, total: int, total_contrib: int,
         st = dev["stages"][si]
         e_max, b_max, m, off, c_off = stages[si]
         xb = x[..., st["bd"]]  # gather: ancestor slots are final
-        corr = jnp.einsum("mib,...mb->...mi", st["fib"], xb)
-        corr = jnp.einsum("mij,...mj->...mi", st["inv"], corr)
+        corr = jnp.einsum("mib,...mb->...mi", st["ginv"], xb)
         z = jax.lax.dynamic_slice_in_dim(
             x, off, m * e_max, axis=-1
         ).reshape(batch + (m, e_max))

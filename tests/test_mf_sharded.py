@@ -59,7 +59,7 @@ def test_sharded_solve_matches_single(small_system, tmp_path, monkeypatch):
     assert smf.per_device_factor_bytes * 4 == smf.total_factor_bytes
     single_bytes = sum(
         np.asarray(st[k]).nbytes
-        for st in mf.tree()["stages"] for k in ("inv", "fib", "fbi")
+        for st in mf.tree()["stages"] for k in ("inv", "ginv", "fbi")
     )
     assert smf.per_device_factor_bytes < 0.5 * single_bytes, (
         smf.per_device_factor_bytes, single_bytes,
