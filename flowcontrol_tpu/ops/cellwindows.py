@@ -9,11 +9,11 @@ flowsolver.py:739-771). The global gather + gather-table scatter are the
 measured cost (~2-3 ms/step at 56k dofs on v5e); the quadrature flops are
 trivial.
 
-This module exploits the mesh's native spatial dof coherence (P2 nodes are
-numbered coherently — see the round-2 no-op-reordering finding): sort cells
-by their smallest velocity node and block them 128 at a time, and each
-block's 768 node picks fall inside a short static node window. The apply
-becomes
+Velocity nodes are first RCM-reordered on their cell-sharing graph (the
+generated meshes are natively coherent, but the reference's stock O1 mesh
+is NOT — its raw window width spans the whole node range); cells sorted by
+their smallest (permuted) node and blocked 128 at a time then read a short
+static node window. The apply becomes
 
     pad -> per-block static window rows (128-node granularity) ->
     in-window pick -> per-cell quadrature -> in-window scatter ->
@@ -54,8 +54,23 @@ def build_cell_windows(cell_vel_nodes: np.ndarray, n_vnodes: int,
     to the window cell order here (padded cells get wq=0, so their
     contributions vanish identically — no masking needed downstream).
     """
-    cvn = np.asarray(cell_vel_nodes)
-    nc, n_loc = cvn.shape
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    cvn_raw = np.asarray(cell_vel_nodes)
+    nc, n_loc = cvn_raw.shape
+    # RCM over the node cell-sharing graph: nodes of one cell land within
+    # O(bandwidth) of each other regardless of the mesh file's numbering
+    rows = np.repeat(cvn_raw, n_loc, axis=1).reshape(-1)
+    cols = np.tile(cvn_raw, (1, n_loc)).reshape(-1)
+    adj = sp.coo_matrix(
+        (np.ones(len(rows), dtype=np.int8), (rows, cols)),
+        shape=(n_vnodes, n_vnodes),
+    ).tocsr()
+    perm = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True))
+    inew = np.empty(n_vnodes, dtype=np.int64)
+    inew[perm] = np.arange(n_vnodes)
+    cvn = inew[cvn_raw]  # cell nodes in RCM numbering
     order = np.argsort(cvn.min(axis=1), kind="stable")
     cvn_o = cvn[order]
     nb = (nc + _RC - 1) // _RC
@@ -96,6 +111,8 @@ def build_cell_windows(cell_vel_nodes: np.ndarray, n_vnodes: int,
         "wq": jnp.asarray(wq_p, dtype=dtype),
         "dphi2": jnp.asarray(dphi2_p, dtype=dtype),
         "phi2": jnp.asarray(np.asarray(geom_tables["phi2"]), dtype=dtype),
+        "perm": jnp.asarray(perm, dtype=jnp.int32),  # new pos -> old node
+        "iperm": jnp.asarray(inew, dtype=jnp.int32),  # old node -> new pos
     }
     static = {
         "n_vnodes": n_vnodes,
@@ -128,6 +145,7 @@ def nonlinear_convection_windowed(tree, static, u_mixed, n_dofs: int):
     batch = u_mixed.shape[:-1]
     dt = u_mixed.dtype
     u_nodes = u_mixed[..., : 2 * n_vnodes].reshape(batch + (n_vnodes, 2))
+    u_nodes = jnp.take(u_nodes, tree["perm"], axis=-2)  # RCM node order
     uwin = _window_rows(tree, static, u_nodes)  # (..., nb, w, 2)
 
     if static["variant"] == "onehot":
@@ -169,6 +187,7 @@ def nonlinear_convection_windowed(tree, static, u_mixed, n_dofs: int):
         yw.reshape(batch + (nb, wb, _RN, 2))
     )
     y_nodes = yrows.reshape(batch + (n_rows * _RN, 2))[..., :n_vnodes, :]
+    y_nodes = jnp.take(y_nodes, tree["iperm"], axis=-2)  # back to mesh order
     out = jnp.zeros(batch + (n_dofs,), dtype=dt)
     return out.at[..., : 2 * n_vnodes].set(
         y_nodes.reshape(batch + (2 * n_vnodes,))

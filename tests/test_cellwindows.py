@@ -66,6 +66,22 @@ def test_windowed_nl_matches_gather(lid, variant):
     assert np.allclose(gotb, refb, atol=1e-12)
 
 
+def test_windowed_nl_survives_hostile_node_numbering(lid):
+    """The reference's stock O1 mesh numbers nodes with NO spatial
+    coherence (raw window width spans the whole node range); the RCM
+    pre-pass must keep windows narrow for ANY input numbering."""
+    space, geom = lid.space, lid.forms.geom
+    rng = np.random.default_rng(42)
+    shuffle = rng.permutation(space.n_vnodes)
+    built = build_cell_windows(
+        shuffle[space.cell_vel_nodes], space.n_vnodes,
+        {"wq": geom.wq, "dphi2": geom.dphi2, "phi2": geom.phi2},
+    )
+    assert built is not None
+    _, static = built
+    assert static["w"] <= 1024, static["w"]  # narrow despite the shuffle
+
+
 def test_windowed_nl_width_cap(lid):
     space, geom = lid.space, lid.forms.geom
     built = build_cell_windows(
