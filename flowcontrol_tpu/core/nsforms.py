@@ -137,3 +137,80 @@ class NSForms:
                 c_lvel=-0.5, c_f=0.5, c_fn=0.5,
             )
         raise ValueError(f"order must be 1, 2, or 'cn', got {order}")
+
+    # ── Reference-named form surface (ref: nsforms.py:62-187) ────────────────
+    # The reference returns UFL forms; the TPU-native equivalents return the
+    # assembled element tensors / residual vectors those forms produce.
+
+    def transient(self, order, u0_nodes: np.ndarray):
+        """Scheme bundle for a transient step (ref: nsforms.py:62-114).
+
+        Returns ``(lhs_elements, rhs_coefficients)`` — the one-time LHS
+        element tensors and the per-step RHS recipe, i.e. exactly what the
+        reference's ``dolfin.lhs/rhs`` split of the returned form yields.
+        """
+        return self.transient_lhs(order, u0_nodes), self.rhs_coefficients(order)
+
+    def _steady_base_csr(self):
+        if getattr(self, "_steady_base", None) is None:
+            from flowcontrol_tpu.fem.assembly import (
+                place_pressure_blocks,
+                place_velocity_scalar,
+                pressure_gradient_block,
+                scalar_stiffness_p2,
+                to_scipy_csr,
+            )
+
+            base = place_velocity_scalar(
+                self.inv_re * scalar_stiffness_p2(self.geom)
+            ) + place_pressure_blocks(pressure_gradient_block(self.geom))
+            self._steady_base = to_scipy_csr(
+                base, self.space.cell_dofs, self.space.n_dofs
+            )
+        return self._steady_base
+
+    def steady(self, up: np.ndarray, f_load: np.ndarray | None = None):
+        """Nonlinear steady residual F(up) (ref: nsforms.py:116-147).
+
+        The reference's form evaluates to the zero residual at steady state;
+        here the residual vector itself is returned: N(u) + (1/Re)K u +
+        pressure coupling − f.
+        """
+        from flowcontrol_tpu.fem.assembly import nonlinear_convection_np
+
+        up = np.asarray(up)
+        r = nonlinear_convection_np(self.geom, self.space, up)
+        r = r + self._steady_base_csr() @ up
+        if f_load is not None:
+            r = r - np.asarray(f_load)
+        return r
+
+    def picard(self, up: np.ndarray, f_load: np.ndarray | None = None):
+        """Oseen (Picard) linearization frozen at ``up``
+        (ref: nsforms.py:149-187).
+
+        Returns ``(a_elements, L)``: the linearized LHS element tensors and
+        the body-force RHS vector — the element-tensor counterpart of the
+        reference's ``(a, L)`` form pair.
+        """
+        from flowcontrol_tpu.fem.assembly import (
+            convection_block,
+            place_pressure_blocks,
+            place_velocity_scalar,
+            pressure_gradient_block,
+            scalar_stiffness_p2,
+            velocity_cell_values,
+        )
+
+        up = np.asarray(up)
+        u_nodes = up[: self.space.n_vel_dofs].reshape(self.space.n_vnodes, 2)
+        u_cells = velocity_cell_values(self.space, u_nodes)
+        a_e = place_velocity_scalar(
+            convection_block(self.geom, u_cells)
+            + self.inv_re * scalar_stiffness_p2(self.geom)
+        ) + place_pressure_blocks(pressure_gradient_block(self.geom))
+        load = (
+            np.zeros(self.space.n_dofs) if f_load is None
+            else np.asarray(f_load)
+        )
+        return a_e, load

@@ -156,3 +156,60 @@ def convert_to_xdmf(src, dst) -> Mesh2D:
         raise ValueError(f"unsupported mesh format: {src.suffix}")
     write_xdmf_mesh(dst, mesh)
     return mesh
+
+
+def write_dolfin_xml(path, mesh: Mesh2D) -> None:
+    """Write a 2D triangle mesh in dolfin XML (the format the reference's
+    msh2xml conversion produces, ref: mesh.py:39-45)."""
+    lines = [
+        '<?xml version="1.0"?>',
+        '<dolfin xmlns:dolfin="http://fenicsproject.org">',
+        '  <mesh celltype="triangle" dim="2">',
+        f'    <vertices size="{mesh.num_vertices}">',
+    ]
+    for i, (x, y) in enumerate(mesh.coords):
+        lines.append(
+            f'      <vertex index="{i}" x="{float(x)!r}" y="{float(y)!r}"/>'
+        )
+    lines.append("    </vertices>")
+    lines.append(f'    <cells size="{mesh.num_cells}">')
+    for i, (v0, v1, v2) in enumerate(mesh.cells):
+        lines.append(
+            f'      <triangle index="{i}" v0="{v0}" v1="{v1}" v2="{v2}"/>'
+        )
+    lines += ["    </cells>", "  </mesh>", "</dolfin>"]
+    Path(path).write_text("\n".join(lines))
+
+
+# ── Reference-named conversion entry points (ref: mesh.py:16-53) ─────────────
+# The reference's converters take ONE path and write the converted mesh next
+# to it with the new suffix; same contract here (no meshio needed).
+
+
+def convert_mesh_xml2xdmf(xmlfile) -> None:
+    """dolfin .xml → .xdmf/.h5 (ref: mesh.py:16-27)."""
+    src = Path(xmlfile).with_suffix(".xml")
+    convert_to_xdmf(src, src.with_suffix(".xdmf"))
+
+
+def convert_mesh_msh2xdmf(mshfile) -> None:
+    """gmsh .msh → .xdmf/.h5 (ref: mesh.py:29-37)."""
+    src = Path(mshfile).with_suffix(".msh")
+    convert_to_xdmf(src, src.with_suffix(".xdmf"))
+
+
+def convert_mesh_msh2xml(mshfile) -> None:
+    """gmsh .msh → dolfin .xml (ref: mesh.py:39-45)."""
+    src = Path(mshfile).with_suffix(".msh")
+    write_dolfin_xml(src.with_suffix(".xml"), read_gmsh(src))
+
+
+def convert_mesh_vtu2xdmf(vtufile) -> None:
+    """Legacy VTK → .xdmf/.h5 (ref: mesh.py:47-53)."""
+    src = Path(vtufile)
+    if not src.exists():
+        for ext in (".vtu", ".vtk"):
+            if src.with_suffix(ext).exists():
+                src = src.with_suffix(ext)
+                break
+    convert_to_xdmf(src, src.with_suffix(".xdmf"))

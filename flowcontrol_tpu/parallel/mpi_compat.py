@@ -20,6 +20,15 @@ def get_rank() -> int:
     return jax.process_index()
 
 
+def check_process_rank() -> None:
+    """Log this process's index (ref: mpi.py:17-19)."""
+    import logging
+
+    logging.getLogger(__name__).info(
+        "================= Hello I am process %d", get_rank()
+    )
+
+
 def get_size() -> int:
     import jax
 
@@ -52,5 +61,6 @@ class MpiUtils:
     """Legacy namespace (ref: mpi.py:92-98)."""
 
     get_rank = staticmethod(get_rank)
+    check_process_rank = staticmethod(check_process_rank)
     mpi_broadcast = staticmethod(mpi_broadcast)
     peval = staticmethod(peval)

@@ -14,9 +14,12 @@ from flowcontrol_tpu.utils.fem import (  # noqa: F401
     summarize_timings,
 )
 from flowcontrol_tpu.utils.io import (  # noqa: F401
+    export_boundary_field,
     export_complex_field,
     export_dof_map,
     export_field_vtk,
+    export_npz_to_mat,
+    export_sparse_matrix,
     export_square_operators,
     load_Hw,
     plot_Hw,
@@ -24,15 +27,21 @@ from flowcontrol_tpu.utils.io import (  # noqa: F401
 )
 from flowcontrol_tpu.utils.linalg import (  # noqa: F401
     dense_to_sparse,
+    eigenproblem_slepc,
     get_field_response,
     get_frequency_response,
+    get_frequency_response_mpi,
+    get_frequency_response_parallel,
+    get_frequency_response_sequential,
     get_frequency_response_tpu,
     get_mat_vp_shift_invert,
+    get_mat_vp_slepc,
     sparse_to_coo_triplets,
 )
 from flowcontrol_tpu.utils.lticontrol import *  # noqa: F401,F403
 from flowcontrol_tpu.utils.optim import (  # noqa: F401
     batch_evaluate,
+    parallel_function_wrapper,
     compute_control_cost,
     compute_signal_cost,
     cummin,
@@ -43,6 +52,7 @@ from flowcontrol_tpu.utils.optim import (  # noqa: F401
 )
 from flowcontrol_tpu.utils.signal import (  # noqa: F401
     MultisineGenerator,
+    plotsignal,
     MyEncoder,
     NoIndent,
     compute_signal_frequency,

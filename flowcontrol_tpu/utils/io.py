@@ -209,3 +209,74 @@ def export_stress_tensor(path, flowsolver, u, p, nu) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(path, sigma=sigma)
+
+
+def export_npz_to_mat(infile, outfile, matname: str) -> None:
+    """Load a scipy sparse matrix from ``infile`` (.npz) and save it as a
+    MATLAB .mat under ``matname`` (ref: io.py:161-168)."""
+    import scipy.io as sio
+    import scipy.sparse as sp
+
+    m = sp.load_npz(str(infile))
+    sio.savemat(str(outfile), mdict={matname: m.tocsc()})
+
+
+def export_sparse_matrix(A, figname=None) -> None:
+    """Spy-plot PNG of a sparse matrix (ref: io.py:254-272). Accepts scipy
+    sparse or a dense ndarray."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import scipy.sparse as sp
+
+    a_csr = A if sp.issparse(A) else sp.csr_matrix(np.asarray(A))
+    fig, ax = plt.subplots()
+    ax.spy(a_csr, markersize=1)
+    ax.set_title("Sparse matrix plot")
+    fig.savefig(str(figname) if figname is not None else "spy.png")
+    plt.close(fig)
+
+
+def export_boundary_field(path, mesh, facet_rows=None, field=None,
+                          name: str = "boundary_field") -> None:
+    """Project a per-facet vector field (default: the facet normals) onto the
+    boundary P1 vertices and export it (ref: io.py:188-207, which assembles
+    the boundary-measure L2 projection with ``ident_zeros``).
+
+    The L2 projection over the 1-D boundary mesh uses the consistent segment
+    mass matrix (len/6 · [[2,1],[1,2]]); interior vertices keep identity rows
+    with zero load — exactly dolfin's ``A.ident_zeros()`` behavior.
+    """
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    bf = mesh.boundary_facets  # (nf, 2) vertex ids
+    rows = np.arange(len(bf)) if facet_rows is None else np.asarray(facet_rows)
+    fvert = bf[rows]
+    if field is None:
+        field = mesh.facet_normals()[rows]
+    field = np.asarray(field, dtype=np.float64)
+    lengths = np.linalg.norm(
+        mesh.coords[fvert[:, 1]] - mesh.coords[fvert[:, 0]], axis=1
+    )
+    nv = mesh.num_vertices
+    i0, i1 = fvert[:, 0], fvert[:, 1]
+    rows = np.concatenate([i0, i0, i1, i1])
+    cols = np.concatenate([i0, i1, i0, i1])
+    vals = np.concatenate(
+        [lengths / 3.0, lengths / 6.0, lengths / 6.0, lengths / 3.0]
+    )
+    m = sp.csr_matrix((vals, (rows, cols)), shape=(nv, nv))
+    # ident_zeros: untouched (interior) vertices get identity rows
+    touched = np.zeros(nv, dtype=bool)
+    touched[fvert.ravel()] = True
+    ident = sp.diags((~touched).astype(np.float64))
+    m = (m + ident).tocsc()
+    load = np.zeros((nv, field.shape[1]))
+    np.add.at(load, i0, 0.5 * lengths[:, None] * field)
+    np.add.at(load, i1, 0.5 * lengths[:, None] * field)
+    nh = spla.spsolve(m, load)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, coords=mesh.coords, **{name: nh})

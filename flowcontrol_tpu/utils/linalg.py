@@ -237,3 +237,33 @@ def get_frequency_response_sharded(a_dense, b, c, q_dense, ww,
     ww_dev = jax.device_put(jnp.asarray(ww_p), NamedSharding(mesh, P(axis)))
     h = np.asarray(fn(ww_dev)).astype(np.complex128)
     return h[: len(ww)]
+
+
+# ── Reference-named entry points ─────────────────────────────────────────────
+# The reference exposes one frequency-response routine per execution strategy
+# (ref: linalg.py:192/235/272) and names its eigensolver after SLEPc
+# (ref: linalg.py:52-129, eig/eig_utils.py:83-253). Same surface here, mapped
+# onto this framework's strategies, so reference-style callers port unchanged.
+
+#: sequential host solves (ref: get_frequency_response_sequential)
+get_frequency_response_sequential = get_frequency_response
+#: the joblib-process sweep maps onto one batched on-device sweep
+get_frequency_response_parallel = get_frequency_response_tpu
+#: the MPI/MUMPS-distributed sweep maps onto the device-sharded sweep
+get_frequency_response_mpi = get_frequency_response_sharded
+#: legacy SLEPc name — backed by ARPACK shift-invert here (no SLEPc needed)
+get_mat_vp_slepc = get_mat_vp_shift_invert
+
+
+def eigenproblem_slepc(a, e=None, n: int = 10, sigma: complex = 0.0,
+                       return_vectors: bool = True):
+    """Legacy entry point (ref: eig/eig_utils.py:83-253): generalized
+    eigenproblem A x = λ E x near shift σ.
+
+    The reference needs a separate complex-build slepc4py environment for
+    this; here complex shift-invert is native (ARPACK host path — see
+    ``eig_arnoldi_dense_tpu`` for the on-device variant)."""
+    a = sp.csr_matrix(a)
+    e = sp.identity(a.shape[0], format="csr") if e is None else sp.csr_matrix(e)
+    return get_mat_vp_shift_invert(a, e, n=n, sigma=sigma,
+                                   return_vectors=return_vectors)

@@ -114,3 +114,19 @@ def compute_signal_cost(signal, Tnorm: float, criterion: str,
 def compute_control_cost(u_ctrl, Tnorm: float) -> float:
     """Time-normalized control effort ∫‖u‖² dt (all channels summed)."""
     return float(np.sum(np.asarray(u_ctrl) ** 2) * Tnorm)
+
+
+def parallel_function_wrapper(x, stop_all, fun):
+    """Reference-compatible cost-evaluation wrapper (ref: optim.py:71-107).
+
+    In the reference, rank 0 drives the optimizer while all MPI ranks
+    co-evaluate each collective FEM cost, with ``stop_all`` broadcast as the
+    termination flag. This framework is single-program (the solve itself is
+    device-parallel), so the wrapper reduces to: evaluate unless stopped.
+    The signature and the stop-flag contract are preserved so reference
+    optimization drivers port line-for-line; for population-scale search use
+    ``batch_evaluate`` (vmapped rollouts) instead.
+    """
+    if stop_all[0] != 0:
+        return 0.0
+    return float(fun(x))

@@ -218,3 +218,43 @@ class MyEncoder(json.JSONEncoder):
                 )
             yield encoded
         self._registry.clear()
+
+
+def plotsignal(y, Fs, t=None, Fmin=None, Fmax=None, path_prefix=None):
+    """Plot a signal in time and frequency domains (ref: signal.py:194-224).
+
+    Headless-safe: with ``path_prefix`` given (or no display), figures are
+    saved as ``<prefix>_time.png`` / ``<prefix>_freq.png`` instead of shown.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    y = np.asarray(y)
+    n = len(y)
+    if t is None:
+        t = np.linspace(0, (n - 1) / Fs, n)
+    fig1, ax = plt.subplots()
+    ax.plot(t, y)
+    ax.set_title("Sum of sines")
+    ax.set_xlabel("Time (s)")
+    fig1.tight_layout()
+
+    mm = 10 * n
+    xx = np.fft.fft(y, n) / np.sqrt(n)
+    xx_zp = np.fft.fft(y, mm) / np.sqrt(n)
+    ff = np.arange(n) * Fs / n
+    ff_zp = np.arange(mm) * Fs / mm
+    fig2, ax = plt.subplots()
+    ax.stem(ff, np.abs(xx))
+    ax.plot(ff_zp, np.abs(xx_zp), alpha=0.2, color="r")
+    if Fmin is not None and Fmax is not None:
+        for xline in (Fmin, Fmax):
+            ax.axvline(x=xline, color="k", linestyle="--")
+    ax.set_xlabel("Frequency (Hz)")
+    prefix = str(path_prefix) if path_prefix is not None else "signal"
+    fig1.savefig(f"{prefix}_time.png", dpi=120)
+    fig2.savefig(f"{prefix}_freq.png", dpi=120)
+    plt.close(fig1)
+    plt.close(fig2)
