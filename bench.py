@@ -220,13 +220,21 @@ def bench_cavity(platform: str) -> dict | None:
         path_out=Path("/tmp/stock_cavity"), verbose=0,
         solver_backend="dense_lu", precision="f32",
     )
-    try:
-        fs.load_steady_state()
-    except Exception:
-        fs.compute_steady_state(method="picard", max_iter=10, tol=1e-7,
-                                u_ctrl=[0.0])
-        fs.compute_steady_state(method="newton", max_iter=10, u_ctrl=[0.0],
-                                initial_guess=fs.fields.UP0)
+    base = CACHE / f"cavity_re7500_n{fs.space.n_dofs}.npz"
+    if base.exists():
+        # committed artifact (interior steady residual 3e-12) — avoids a
+        # 235k-dof Picard+Newton chain when the /tmp checkpoint is gone
+        d = np.load(base)
+        fs._assign_steady_state(d["U0"], d["P0"])
+    else:
+        try:
+            fs.load_steady_state()
+        except Exception:
+            fs.compute_steady_state(method="picard", max_iter=10, tol=1e-7,
+                                    u_ctrl=[0.0])
+            fs.compute_steady_state(method="newton", max_iter=10,
+                                    u_ctrl=[0.0],
+                                    initial_guess=fs.fields.UP0)
     t0 = _t.time()
     fs.initialize_time_stepping()
     fs.order = 2
