@@ -27,7 +27,12 @@ fs = CylinderFlowSolver.make_default(
     solver_backend="dense_lu", precision="f32",
     stepper_options=stepper_options,
 )
-fs.load_steady_state()
+base = Path(__file__).resolve().parents[1] / "flowcontrol_tpu/models/_baseflows" / f"cylinder_re100_n{fs.space.n_dofs}.npz"
+if base.exists():
+    d = np.load(base)
+    fs._assign_steady_state(d["U0"], d["P0"])
+else:
+    fs.load_steady_state()
 fs.initialize_time_stepping(ic=None)
 print(f"init {time.time()-t0:.0f}s", flush=True)
 t1 = time.time()
