@@ -64,6 +64,12 @@ class ShardedMultifrontal:
 
     def __init__(self, mf_tree, static, mesh: Mesh, axis: str = "space",
                  batch_axis: str | None = None):
+        if static.get("layout", "ij") != "ij":
+            raise ValueError(
+                "ShardedMultifrontal requires the canonical stack layout — "
+                "build the MultifrontalLU with layout='ij' (FC_MF_LAYOUT "
+                "is a single-chip A/B knob only)"
+            )
         self.mesh = mesh
         self.axis = axis
         self.batch_axis = batch_axis

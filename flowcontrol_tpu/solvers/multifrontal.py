@@ -198,10 +198,20 @@ class MultifrontalLU:
     """
 
     def __init__(self, a_csr, coords: np.ndarray, leaf_max: int = 1536,
-                 dtype=jnp.float32, store_dtype=None):
+                 dtype=jnp.float32, store_dtype=None, layout: str | None = None):
+        import os
+
         a_csr = a_csr.tocsr()
         n = a_csr.shape[0]
         self.n = n
+        # 'ij' = canonical stacks; 'ji' = stacks pre-transposed ON HOST so
+        # the solve's dot_generals contract the leading (non-minor) dim —
+        # an A/B knob for the observed XLA transpose-of-the-factor-stack
+        # (a {0,2,1} transpose of the full stack per solve would triple the
+        # HBM traffic). Env FC_MF_LAYOUT overrides.
+        self.layout = layout or os.environ.get("FC_MF_LAYOUT", "ij")
+        if self.layout not in ("ij", "ji"):
+            raise ValueError(f"layout must be 'ij' or 'ji', got {self.layout}")
         t_all = time.time()
         np_store = np.dtype(
             jnp.dtype(store_dtype if store_dtype is not None else dtype).name
@@ -490,13 +500,27 @@ class MultifrontalLU:
             table_bytes += inbox.nbytes // 2  # int32 on device
             stage = {
                 "bd": jnp.asarray(bd_slots.astype(np.int32)),
-                "inv": jnp.asarray(payload[f"inv_{di}"]),
-                "ginv": jnp.asarray(payload[f"ginv_{di}"]),
-                "fbi": jnp.asarray(payload[f"fbi_{di}"]),
                 "inbox_t": jnp.asarray(
                     np.ascontiguousarray(inbox.T.astype(np.int32))
                 ),
             }
+            if self.layout == "ji":
+                # pre-transposed keys: distinct names so a consumer built
+                # for the canonical layout (e.g. the sharded solve) fails
+                # loudly instead of multiplying by the transpose
+                stage["inv_t"] = jnp.asarray(
+                    np.ascontiguousarray(payload[f"inv_{di}"].swapaxes(1, 2))
+                )
+                stage["ginv_t"] = jnp.asarray(
+                    np.ascontiguousarray(payload[f"ginv_{di}"].swapaxes(1, 2))
+                )
+                stage["fbi_t"] = jnp.asarray(
+                    np.ascontiguousarray(payload[f"fbi_{di}"].swapaxes(1, 2))
+                )
+            else:
+                stage["inv"] = jnp.asarray(payload[f"inv_{di}"])
+                stage["ginv"] = jnp.asarray(payload[f"ginv_{di}"])
+                stage["fbi"] = jnp.asarray(payload[f"fbi_{di}"])
             dev["stages"].append(stage)
             self._stage_static.append(
                 (elim_idx.shape[1], bd_idx.shape[1], elim_idx.shape[0],
@@ -516,7 +540,7 @@ class MultifrontalLU:
     def static(self):
         return dict(n=self.n, total=self.total_slots,
                     total_contrib=self.total_contrib,
-                    stages=tuple(self._stage_static))
+                    stages=tuple(self._stage_static), layout=self.layout)
 
     def solve(self, b):
         return multifrontal_solve(self._dev, b, **self.static())
@@ -551,9 +575,10 @@ def _gather_sum_t(contrib, table_t):
     return jnp.take(padded, table_t, axis=-1).sum(axis=-2)
 
 
-@partial(jax.jit, static_argnames=("n", "total", "total_contrib", "stages"))
+@partial(jax.jit, static_argnames=("n", "total", "total_contrib", "stages",
+                                   "layout"))
 def multifrontal_solve(dev, b, n: int, total: int, total_contrib: int,
-                       stages):
+                       stages, layout: str = "ij"):
     """x = A^-1 b; b may carry leading batch dims.
 
     Work vector in slot order (see _unpack). Forward sweep (leaves->root):
@@ -565,7 +590,11 @@ def multifrontal_solve(dev, b, n: int, total: int, total_contrib: int,
     compact gather-table reductions only.
     """
     batch = b.shape[:-1]
-    dtype = dev["stages"][0]["inv"].dtype
+    ji = layout == "ji"
+    inv_k, ginv_k, fbi_k = (
+        ("inv_t", "ginv_t", "fbi_t") if ji else ("inv", "ginv", "fbi")
+    )
+    dtype = dev["stages"][0][inv_k].dtype
     out_dtype = b.dtype if b.dtype in (jnp.float32, jnp.float64) else dtype
 
     bext = jnp.concatenate(
@@ -590,8 +619,12 @@ def multifrontal_solve(dev, b, n: int, total: int, total_contrib: int,
         )
         inc = _gather_sum_t(buf, st["inbox_t"])[..., : m * e_max]
         xe = (xe - inc).reshape(batch + (m, e_max))
-        z = jnp.einsum("mij,...mj->...mi", st["inv"], xe)
-        upd = jnp.einsum("mbi,...mi->...mb", st["fbi"], z)
+        if ji:
+            z = jnp.einsum("mji,...mj->...mi", st[inv_k], xe)
+            upd = jnp.einsum("mib,...mi->...mb", st[fbi_k], z)
+        else:
+            z = jnp.einsum("mij,...mj->...mi", st[inv_k], xe)
+            upd = jnp.einsum("mbi,...mi->...mb", st[fbi_k], z)
         buf = jax.lax.dynamic_update_slice_in_dim(
             buf, upd.reshape(batch + (m * b_max,)), c_off, axis=-1
         )
@@ -606,7 +639,10 @@ def multifrontal_solve(dev, b, n: int, total: int, total_contrib: int,
         st = dev["stages"][si]
         e_max, b_max, m, off, c_off = stages[si]
         xb = x[..., st["bd"]]  # gather: ancestor slots are final
-        corr = jnp.einsum("mib,...mb->...mi", st["ginv"], xb)
+        if ji:
+            corr = jnp.einsum("mbi,...mb->...mi", st[ginv_k], xb)
+        else:
+            corr = jnp.einsum("mib,...mb->...mi", st[ginv_k], xb)
         z = jax.lax.dynamic_slice_in_dim(
             x, off, m * e_max, axis=-1
         ).reshape(batch + (m, e_max))

@@ -152,3 +152,29 @@ def test_multifrontal_warm_cache_reproduces(bdf2_system, tmp_path,
         np.asarray(mf.solve(b)), np.asarray(mf2.solve(b)),
         rtol=1e-6, atol=1e-9,
     )
+
+
+def test_layout_ji_matches_canonical(bdf2_system, tmp_path, monkeypatch):
+    """The pre-transposed ('ji') stack layout contracts the same operands
+    (host transpose happens once at unpack) — solutions agree to reduction
+    order (the transposed dot sums in a different order, ~1e-13 rel in
+    f64). Guards the single-chip A/B knob (FC_MF_LAYOUT)."""
+    monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
+    a_bc, coords = bdf2_system
+    rng = np.random.default_rng(5)
+    b = rng.standard_normal(a_bc.shape[0])
+    import jax.numpy as jnp
+
+    mf_ij = MultifrontalLU(a_bc, coords, dtype=jnp.float64, layout="ij")
+    mf_ji = MultifrontalLU(a_bc, coords, dtype=jnp.float64, layout="ji")
+    x_ij = np.asarray(mf_ij.solve(b))
+    x_ji = np.asarray(mf_ji.solve(b))
+    np.testing.assert_allclose(x_ji, x_ij, rtol=1e-11, atol=1e-13)
+    # stage stacks carry distinct keys so layout mixups fail loudly
+    assert "inv_t" in mf_ji.tree()["stages"][0]
+    assert "inv" not in mf_ji.tree()["stages"][0]
+    # the sharded wrapper refuses the experimental layout
+    from flowcontrol_tpu.parallel.mf_sharded import ShardedMultifrontal
+
+    with pytest.raises(ValueError, match="canonical"):
+        ShardedMultifrontal(mf_ji.tree(), mf_ji.static(), mesh=None)
