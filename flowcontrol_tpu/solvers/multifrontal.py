@@ -212,6 +212,12 @@ class MultifrontalLU:
         self.layout = layout or os.environ.get("FC_MF_LAYOUT", "ij")
         if self.layout not in ("ij", "ji"):
             raise ValueError(f"layout must be 'ij' or 'ji', got {self.layout}")
+        # 'pallas' = hand-scheduled streaming matvec for the single-RHS
+        # sweeps (ops/pallas_mf_matvec.py); 'xla' = jnp.einsum. A/B knob
+        # for the achieved factor-read bandwidth (env FC_MF_EINSUM).
+        self.einsum = os.environ.get("FC_MF_EINSUM", "xla")
+        if self.einsum not in ("xla", "pallas"):
+            raise ValueError(f"einsum must be 'xla'|'pallas', got {self.einsum}")
         t_all = time.time()
         np_store = np.dtype(
             jnp.dtype(store_dtype if store_dtype is not None else dtype).name
@@ -540,7 +546,8 @@ class MultifrontalLU:
     def static(self):
         return dict(n=self.n, total=self.total_slots,
                     total_contrib=self.total_contrib,
-                    stages=tuple(self._stage_static), layout=self.layout)
+                    stages=tuple(self._stage_static), layout=self.layout,
+                    einsum=self.einsum)
 
     def solve(self, b):
         return multifrontal_solve(self._dev, b, **self.static())
@@ -576,9 +583,9 @@ def _gather_sum_t(contrib, table_t):
 
 
 @partial(jax.jit, static_argnames=("n", "total", "total_contrib", "stages",
-                                   "layout"))
+                                   "layout", "einsum"))
 def multifrontal_solve(dev, b, n: int, total: int, total_contrib: int,
-                       stages, layout: str = "ij"):
+                       stages, layout: str = "ij", einsum: str = "xla"):
     """x = A^-1 b; b may carry leading batch dims.
 
     Work vector in slot order (see _unpack). Forward sweep (leaves->root):
@@ -591,6 +598,11 @@ def multifrontal_solve(dev, b, n: int, total: int, total_contrib: int,
     """
     batch = b.shape[:-1]
     ji = layout == "ji"
+    # hand-scheduled streaming matvec (single-RHS, canonical layout only:
+    # the batched regime amortizes the factor read and keeps XLA's einsum)
+    use_pallas = einsum == "pallas" and not ji and batch == ()
+    if use_pallas:
+        from flowcontrol_tpu.ops.pallas_mf_matvec import stack_matvec
     inv_k, ginv_k, fbi_k = (
         ("inv_t", "ginv_t", "fbi_t") if ji else ("inv", "ginv", "fbi")
     )
@@ -622,6 +634,9 @@ def multifrontal_solve(dev, b, n: int, total: int, total_contrib: int,
         if ji:
             z = jnp.einsum("mji,...mj->...mi", st[inv_k], xe)
             upd = jnp.einsum("mib,...mi->...mb", st[fbi_k], z)
+        elif use_pallas and e_max % 128 == 0 and b_max % 128 == 0:
+            z = stack_matvec(st[inv_k], xe)
+            upd = stack_matvec(st[fbi_k], z)
         else:
             z = jnp.einsum("mij,...mj->...mi", st[inv_k], xe)
             upd = jnp.einsum("mbi,...mi->...mb", st[fbi_k], z)
@@ -641,6 +656,8 @@ def multifrontal_solve(dev, b, n: int, total: int, total_contrib: int,
         xb = x[..., st["bd"]]  # gather: ancestor slots are final
         if ji:
             corr = jnp.einsum("mbi,...mb->...mi", st[ginv_k], xb)
+        elif use_pallas and e_max % 128 == 0 and b_max % 128 == 0:
+            corr = stack_matvec(st[ginv_k], xb)
         else:
             corr = jnp.einsum("mib,...mb->...mi", st[ginv_k], xb)
         z = jax.lax.dynamic_slice_in_dim(

@@ -178,3 +178,29 @@ def test_layout_ji_matches_canonical(bdf2_system, tmp_path, monkeypatch):
 
     with pytest.raises(ValueError, match="canonical"):
         ShardedMultifrontal(mf_ji.tree(), mf_ji.static(), mesh=None)
+
+
+def test_einsum_pallas_matches_xla(bdf2_system, tmp_path, monkeypatch):
+    """FC_MF_EINSUM=pallas swaps the per-stage batched matvecs for the
+    hand-scheduled streaming kernel (ops/pallas_mf_matvec.py) — the
+    single-RHS solve must agree with the XLA-einsum solve to reduction
+    order. Interpret mode off-TPU. Guards the on-chip A/B knob."""
+    from flowcontrol_tpu.solvers.multifrontal import multifrontal_solve
+
+    monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
+    a_bc, coords = bdf2_system
+    mf = MultifrontalLU(a_bc, coords, leaf_max=700, dtype=jax.numpy.float32)
+    rng = np.random.default_rng(6)
+    b = rng.standard_normal(a_bc.shape[0]).astype(np.float32)
+    st = mf.static()
+    x_xla = np.asarray(multifrontal_solve(mf.tree(), b, **st))
+    st["einsum"] = "pallas"
+    x_pl = np.asarray(multifrontal_solve(mf.tree(), b, **st))
+    # f32 reduction-order noise amplified through the triangular sweeps:
+    # compare norm-wise, like the splu-truth tests above
+    rel = np.linalg.norm(x_pl - x_xla) / np.linalg.norm(x_xla)
+    assert rel < 2e-5, rel
+    # batched rhs silently keeps the einsum path (amortized factor read)
+    xb = np.asarray(multifrontal_solve(
+        mf.tree(), np.stack([b, b]), **st))
+    np.testing.assert_allclose(xb[0], xb[1], rtol=0, atol=0)

@@ -86,6 +86,31 @@ def _solve_microbench(st, oi):
     t_ein8 = timed(lambda: f8(xs8))
     print(f"  fwd einsums, 8-RHS panel: {t_ein8:7.3f} ms "
           f"(x{t_ein8 / t_ein:.2f} vs 1-RHS; bytes equal)")
+
+    if not ji:
+        # hand-scheduled streaming matvec on the SAME stacks — the direct
+        # bandwidth A/B for FC_MF_EINSUM=pallas (skips misaligned stages)
+        from flowcontrol_tpu.ops.pallas_mf_matvec import stack_matvec
+
+        ok = [s for s, x in zip(stages, xs)
+              if s[ik].shape[1] % 128 == 0 and s[fk].shape[1] % 128 == 0]
+        okx = [x for s, x in zip(stages, xs)
+               if s[ik].shape[1] % 128 == 0 and s[fk].shape[1] % 128 == 0]
+        pb = sum(s[ik].nbytes + s[fk].nbytes for s in ok)
+
+        def fwd_pallas(stgs, x_parts):
+            outs = []
+            for s, xe in zip(stgs, x_parts):
+                z = stack_matvec(s[ik], xe)
+                outs.append(stack_matvec(s[fk], z))
+            return outs
+
+        fp = jax.jit(lambda xp: fwd_pallas(ok, xp))
+        t_pl = timed(lambda: fp(okx))
+        gbs_pl = (pb / 1e9) / (t_pl / 1e3)
+        print(f"  fwd pallas stack_matvec:  {t_pl:7.3f} ms "
+              f"({pb / 2**30:.2f} GB -> {gbs_pl:.0f} GB/s, "
+              f"{len(ok)}/{len(stages)} stages aligned)")
     print(f"  factor bytes fwd/bwd: {fwd_bytes / 2**30:.2f} / "
           f"{bwd_bytes / 2**30:.2f} GB, {len(stages)} stages")
 
@@ -100,6 +125,10 @@ def main():
         opts["windowed_nl"] = os.environ["FC_WINDOWED_NL"]
     if os.environ.get("FC_BANDED"):
         opts["banded_operators"] = os.environ["FC_BANDED"] == "1"
+    if os.environ.get("FC_FACTOR_DTYPE"):
+        opts["factor_dtype"] = os.environ["FC_FACTOR_DTYPE"]
+    if os.environ.get("FC_REFINE"):
+        opts["refine_steps"] = int(os.environ["FC_REFINE"])
     baseflows = Path(__file__).resolve().parents[1] / \
         "flowcontrol_tpu/models/_baseflows"
     if os.environ.get("FC_PROFILE_MESH") == "cavity":
