@@ -336,6 +336,21 @@ def main():
             "unit": (f"SKIPPED: accelerator backend init did not complete "
                      f"({reason}); no measurement taken"),
             "vs_baseline": 0.0,
+            # context only — the most recent on-chip numbers this bench
+            # produced before the relay outage (NOT this run's result)
+            "last_measured": {
+                "date": "2026-08-17",
+                "stock_56k": {
+                    "single_steps_per_sec": 89.7, "single_vs_cpu": 11.8,
+                    "batched_agg_steps_per_sec": 8850, "batched_B": 256,
+                    "setup_compile_s": 37,
+                },
+                "cavity_235k": {
+                    "single_steps_per_sec": 11.8, "single_vs_cpu": 7.7,
+                    "batched_agg_steps_per_sec": 124, "batched_B": 16,
+                    "prepare_s": 142,
+                },
+            },
         }))
         return
 
