@@ -241,6 +241,19 @@ class MultifrontalLU:
         else:
             payload = self._factorize(a_csr, coords, leaf_max, np_store)
             fc_save(key, n=np.int64(n), **payload)
+        # in-memory repack (disk format stays canonical): penalty-DP
+        # grouping strictly dominates the fixed bucket grid — measured on
+        # the real payloads: 235k stock cavity 71 stages/2.42 GB ->
+        # 50/2.11 GB, 56k stock cylinder 46/0.54 -> 24/0.50 at the
+        # default penalty. Fewer stages (less per-stage dispatch/gather
+        # setup) AND fewer padded bytes (less HBM per solve, fewer padded
+        # flops batched). FC_MF_PACK=bucket restores the v4 grouping.
+        pack = os.environ.get("FC_MF_PACK", "dp")
+        if pack == "dp":
+            lam_mb = float(os.environ.get("FC_MF_PACK_LAM_MB", "8"))
+            payload = _repack_dp(payload, n, lam_bytes=lam_mb * 2**20)
+        elif pack != "bucket":
+            raise ValueError(f"FC_MF_PACK must be 'dp'|'bucket', got {pack}")
         self._unpack(payload, dtype)
         logger.info(
             "multifrontal: ready in %.1fs — %d depths, factor %.2f GB",
@@ -551,6 +564,110 @@ class MultifrontalLU:
 
     def solve(self, b):
         return multifrontal_solve(self._dev, b, **self.static())
+
+
+def _round128(x: int) -> int:
+    return max(128, -(-int(x) // 128) * 128)
+
+
+def _repack_dp(payload: dict, n: int, lam_bytes: float) -> dict:
+    """Regroup the per-depth node forests by a penalty-DP partition.
+
+    The v4 packing groups nodes by (depth, fixed-size-bucket) — simple,
+    but it fragments a depth into up to ~8 stages AND over-pads (the
+    bucket grid jumps 1024->1536->2048). Here nodes of one depth are
+    lex-sorted by (n_elim, n_bd) and split into contiguous groups by a
+    DP minimizing  padded_bytes + lam_bytes * n_groups ,  with group
+    padding at 128 granularity (keeps every stage Pallas-aligned).
+    lam_bytes prices one stage's fixed overhead in HBM-read-equivalent
+    bytes (8 MB ~ 10 us at v5e bandwidth). Same-depth nodes are never
+    ancestor-related, so any regrouping within a depth is execution-safe.
+
+    Pure host-side transform of the payload dict (the disk cache stays in
+    the canonical format); the solve code is unchanged.
+    """
+    depths = payload["depth_order"]
+    itemsize = payload["inv_0"].itemsize if "inv_0" in payload else 4
+    lam = lam_bytes / itemsize  # penalty in elements
+    # decompose stages into nodes
+    per_depth: dict[int, list] = {}
+    for di in range(len(depths)):
+        e = payload[f"elim_{di}"]
+        b = payload[f"bd_{di}"]
+        inv = payload[f"inv_{di}"]
+        giv = payload[f"ginv_{di}"]
+        fbi = payload[f"fbi_{di}"]
+        for i in range(e.shape[0]):
+            ne = int((e[i] < n).sum())
+            nb = int((b[i] < n).sum())
+            per_depth.setdefault(int(depths[di]), []).append((
+                ne, nb, e[i, :ne], b[i, :nb],
+                inv[i, :ne, :ne], giv[i, :ne, :nb], fbi[i, :nb, :ne],
+            ))
+
+    groups: list[tuple[int, list]] = []  # (depth, [node, ...])
+    for dv, nodes in per_depth.items():
+        nodes.sort(key=lambda t: (t[0], t[1]))
+        m = len(nodes)
+        ne = [t[0] for t in nodes]
+        nb = [t[1] for t in nodes]
+        best = [np.inf] * (m + 1)
+        prev = [0] * (m + 1)
+        best[0] = 0.0
+        for j in range(1, m + 1):
+            mb = 0
+            for i in range(j - 1, -1, -1):
+                mb = max(mb, nb[i])
+                e_g = _round128(ne[j - 1])  # sorted: max elim in i..j-1
+                b_g = _round128(mb)
+                c = (j - i) * (e_g * e_g + 2 * e_g * b_g) + lam
+                if best[i] + c < best[j]:
+                    best[j] = best[i] + c
+                    prev[j] = i
+        cuts = []
+        j = m
+        while j > 0:
+            cuts.append((prev[j], j))
+            j = prev[j]
+        for i, j in reversed(cuts):
+            groups.append((dv, nodes[i:j]))
+
+    # rebuild the canonical payload: stages ordered deep -> root
+    groups.sort(key=lambda g: (-g[0], max(t[0] for t in g[1])))
+    out: dict[str, np.ndarray] = {
+        "depth_order": np.asarray([g[0] for g in groups])
+    }
+    dt = payload["inv_0"].dtype
+    for di, (dv, nodes) in enumerate(groups):
+        m = len(nodes)
+        e_max = _round128(max(t[0] for t in nodes))
+        b_max = _round128(max(t[1] for t in nodes))
+        elim_idx = np.full((m, e_max), n, dtype=np.int64)
+        bd_idx = np.full((m, b_max), n, dtype=np.int64)
+        inv = np.zeros((m, e_max, e_max), dtype=dt)
+        giv = np.zeros((m, e_max, b_max), dtype=dt)
+        fbi = np.zeros((m, b_max, e_max), dtype=dt)
+        for i, (ne, nb, ei, bi, iv, gv, fb) in enumerate(nodes):
+            elim_idx[i, :ne] = ei
+            bd_idx[i, :nb] = bi
+            inv[i, :ne, :ne] = iv
+            giv[i, :ne, :nb] = gv
+            fbi[i, :nb, :ne] = fb
+        out[f"elim_{di}"] = elim_idx
+        out[f"bd_{di}"] = bd_idx
+        out[f"inv_{di}"] = inv
+        out[f"ginv_{di}"] = giv
+        out[f"fbi_{di}"] = fbi
+    logger.info(
+        "multifrontal: dp repack %d -> %d stages, %.2f -> %.2f GB padded",
+        len(depths), len(groups),
+        sum(payload[f"inv_{d}"].nbytes + payload[f"ginv_{d}"].nbytes
+            + payload[f"fbi_{d}"].nbytes for d in range(len(depths)))
+        / 2**30,
+        sum(out[f"inv_{d}"].nbytes + out[f"ginv_{d}"].nbytes
+            + out[f"fbi_{d}"].nbytes for d in range(len(groups))) / 2**30,
+    )
+    return out
 
 
 def _table_skip_pads(dest: np.ndarray, n_out: int) -> np.ndarray:

@@ -180,6 +180,37 @@ def test_layout_ji_matches_canonical(bdf2_system, tmp_path, monkeypatch):
         ShardedMultifrontal(mf_ji.tree(), mf_ji.static(), mesh=None)
 
 
+def test_dp_repack_matches_bucket_and_shrinks_stages(bdf2_system, tmp_path,
+                                                     monkeypatch):
+    """The penalty-DP repack (default) must reproduce the bucket packing's
+    solutions exactly at the operator level (same per-node factors, only
+    regrouped) and reduce the stage count. Guards FC_MF_PACK."""
+    import scipy.sparse.linalg as spla
+
+    monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
+    a_bc, coords = bdf2_system
+    monkeypatch.setenv("FC_MF_PACK", "bucket")
+    mf_b = MultifrontalLU(a_bc, coords, leaf_max=700, dtype=jax.numpy.float64)
+    monkeypatch.setenv("FC_MF_PACK", "dp")
+    mf_d = MultifrontalLU(a_bc, coords, leaf_max=700, dtype=jax.numpy.float64)
+    assert mf_d.n_depths < mf_b.n_depths, (mf_d.n_depths, mf_b.n_depths)
+    rng = np.random.default_rng(9)
+    b = rng.standard_normal(a_bc.shape[0])
+    x_b = np.asarray(mf_b.solve(b))
+    x_d = np.asarray(mf_d.solve(b))
+    # identical factors, different summation grouping: agreement to
+    # reduction order in f64
+    np.testing.assert_allclose(x_d, x_b, rtol=1e-11, atol=1e-13)
+    x_ref = spla.splu(a_bc.tocsc()).solve(b)
+    rel = np.linalg.norm(x_d - x_ref) / np.linalg.norm(x_ref)
+    assert rel < 1e-11, rel
+    # padded factor bytes must not grow under the default penalty
+    size = lambda mf: sum(
+        v.nbytes for st in mf.tree()["stages"] for v in st.values()
+    )
+    assert size(mf_d) <= 1.1 * size(mf_b)
+
+
 def test_einsum_pallas_matches_xla(bdf2_system, tmp_path, monkeypatch):
     """FC_MF_EINSUM=pallas swaps the per-stage batched matvecs for the
     hand-scheduled streaming kernel (ops/pallas_mf_matvec.py) — the
