@@ -122,11 +122,42 @@ def build_nd_tree(g, coords: np.ndarray, dofs: np.ndarray,
         )
         return _Node(elim=np.sort(dofs), depth=depth)
     _, level, s = best
-    left = dofs[level < s]
-    right = dofs[level > s]
-    sep = dofs[level == s]
+    # TRIM the level separator: a BFS level is a valid separator but not a
+    # minimal one — any level-s vertex with no neighbor strictly on one
+    # side can move to the other side without connecting left and right.
+    # Factor content is ~sum(sep^2), so thinner separators cut factor
+    # bytes (= single-stream HBM time, batched flops, upload) directly.
+    side = np.sign(level - s).astype(np.int8)  # -1 left, 0 sep, +1 right
+    for _ in range(4):
+        sep_loc = np.where(side == 0)[0]
+        if not len(sep_loc):
+            break
+        moved = 0
+        for v in sep_loc:
+            nbrs = sub.indices[sub.indptr[v]: sub.indptr[v + 1]]
+            sn = side[nbrs]
+            has_l = (sn < 0).any()
+            has_r = (sn > 0).any()
+            if not has_r:
+                side[v] = -1  # only-left couplings: join the left side
+                moved += 1
+            elif not has_l:
+                side[v] = 1
+                moved += 1
+        if not moved:
+            break
+    left = dofs[side < 0]
+    right = dofs[side > 0]
+    sep = dofs[side == 0]
     if not len(left) or not len(right):
         return _Node(elim=np.sort(dofs), depth=depth)
+    if not len(sep):
+        # fully trimmed away (no crossing edges): keep one vertex as the
+        # node's elim so every tree node eliminates something — moving a
+        # no-right-neighbor vertex up is always separator-safe
+        sep, left = left[:1], left[1:]
+        if not len(left):
+            return _Node(elim=np.sort(dofs), depth=depth)
     node = _Node(elim=np.sort(sep), depth=depth)
     node.children = [
         build_nd_tree(g, coords, left, leaf_max, depth + 1),
@@ -232,7 +263,9 @@ class MultifrontalLU:
         coords_digest = hashlib.sha256(
             np.ascontiguousarray(coords).tobytes()
         ).hexdigest()[:16]
-        key = fc_key(a_csr, "multifrontal-v4", leaf_max, np_store.name,
+        # v5: level separators are trimmed (one-sided vertices move off the
+        # separator) — different tree than v4, so a distinct cache key
+        key = fc_key(a_csr, "multifrontal-v5", leaf_max, np_store.name,
                      coords_digest)
         cached = fc_load(key)
         if cached is not None and int(cached["n"]) == n:
