@@ -127,8 +127,15 @@ def build_nd_tree(g, coords: np.ndarray, dofs: np.ndarray,
     # side can move to the other side without connecting left and right.
     # Factor content is ~sum(sep^2), so thinner separators cut factor
     # bytes (= single-stream HBM time, batched flops, upload) directly.
+    # Opt-in (FC_MF_TRIM=1): measured -13% content at both stock scales,
+    # but the restructured tree nudged the 235k 5-step f32 field error to
+    # 1.07e-3 (gate 1e-3) — ships together with the refinement-sweep
+    # package once validated, not alone.
+    import os as _os
+
+    trim_passes = 4 if _os.environ.get("FC_MF_TRIM", "0") == "1" else 0
     side = np.sign(level - s).astype(np.int8)  # -1 left, 0 sep, +1 right
-    for _ in range(4):
+    for _ in range(trim_passes):
         sep_loc = np.where(side == 0)[0]
         if not len(sep_loc):
             break
@@ -263,10 +270,13 @@ class MultifrontalLU:
         coords_digest = hashlib.sha256(
             np.ascontiguousarray(coords).tobytes()
         ).hexdigest()[:16]
-        # v5: level separators are trimmed (one-sided vertices move off the
-        # separator) — different tree than v4, so a distinct cache key
-        key = fc_key(a_csr, "multifrontal-v5", leaf_max, np_store.name,
-                     coords_digest)
+        # trimmed separators (FC_MF_TRIM=1) build a different tree than the
+        # canonical v4 ordering — distinct cache keys; untrimmed keeps the
+        # v4 key so existing warm caches stay valid
+        ver = ("multifrontal-v5t"
+               if os.environ.get("FC_MF_TRIM", "0") == "1"
+               else "multifrontal-v4")
+        key = fc_key(a_csr, ver, leaf_max, np_store.name, coords_digest)
         cached = fc_load(key)
         if cached is not None and int(cached["n"]) == n:
             payload = {k: v for k, v in cached.items()}
