@@ -363,8 +363,12 @@ class Stepper:
                             MultifrontalLU,
                         )
 
+                        import os as _os
+
                         slu = MultifrontalLU(
                             a_bc, mixed_dof_coordinates(space),
+                            leaf_max=int(_os.environ.get(
+                                "FC_MF_LEAF_MAX", "1536")),
                             dtype=dt, store_dtype=store_dt,
                         )
                         self._solver_kinds.append("multifrontal")
@@ -372,7 +376,13 @@ class Stepper:
                         dev["solvers"].append(slu.tree())
                         # host-f64 factors rounded to f32 are the proven
                         # rounding-limited class: no refinement sweep needed
-                        factor_promoted = np.dtype(dt) == np.float32
+                        # on the canonical ordering; restructured-tree modes
+                        # (e.g. trimmed separators) recommend sweeps to stay
+                        # in that class
+                        factor_promoted = (
+                            np.dtype(dt) == np.float32
+                            and slu.recommended_refine == 0
+                        )
                     elif self.substructure == "tridiag":
                         # past the single-factor ceiling: two-level
                         # substructuring with a block-TRIDIAGONAL interface

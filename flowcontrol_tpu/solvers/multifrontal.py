@@ -256,6 +256,11 @@ class MultifrontalLU:
         self.einsum = os.environ.get("FC_MF_EINSUM", "xla")
         if self.einsum not in ("xla", "pallas"):
             raise ValueError(f"einsum must be 'xla'|'pallas', got {self.einsum}")
+        # restructured trees (trimmed separators) measurably leave the
+        # zero-sweep accuracy class at 235k — recommend one refinement
+        # sweep so callers (core/stepper.py) stay in it automatically
+        self.trim = os.environ.get("FC_MF_TRIM", "0") == "1"
+        self.recommended_refine = 1 if self.trim else 0
         t_all = time.time()
         np_store = np.dtype(
             jnp.dtype(store_dtype if store_dtype is not None else dtype).name
