@@ -56,10 +56,14 @@ def _mv_kernel(a_ref, v_ref, o_ref):
 
     # (1, TQ) x (TP, TQ) contracted on q -> (1, TP): the vector rides the
     # sublane dim so no in-kernel transposes appear
-    o_ref[:] += jax.lax.dot_general(
-        v_ref[:], a_ref[0],
+    # HIGHEST: Mosaic's dot default is a single bf16 MXU pass (2.5e-3 rel
+    # error measured); the 3-pass f32 emulation is free here — the kernel
+    # is bandwidth-bound on the A tile stream, not MXU-bound
+    o_ref[0] += jax.lax.dot_general(
+        v_ref[0], a_ref[0],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -68,21 +72,28 @@ def _stack_matvec(a, v, interpret: bool):
     m, p, q = a.shape
     tp = _tile(p, 256)
     tq = _tile(q, 2048)
+    # the vector/output carry a unit middle axis so their Pallas block
+    # shapes end in (1, tile) with the 1 EQUAL to the array dim — Mosaic
+    # requires the last two block dims be (8,128)-divisible or match the
+    # array; a flat (1, tq) block over an (m, q) array is rejected
     out = pl.pallas_call(
         _mv_kernel,
         grid=(m, p // tp, q // tq),
         in_specs=[
             pl.BlockSpec((1, tp, tq), lambda i, j, k: (i, j, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq), lambda i, j, k: (i, k),
+            # the unit-axis index is i*0, not the literal 0: with x64 on
+            # (config.py) a Python 0 traces as i64 and Mosaic rejects the
+            # mixed (i32, i64, i32) index tuple
+            pl.BlockSpec((1, 1, tq), lambda i, j, k: (i, i * 0, k),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tp), lambda i, j, k: (i, j),
+        out_specs=pl.BlockSpec((1, 1, tp), lambda i, j, k: (i, i * 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, 1, p), jnp.float32),
         interpret=interpret,
-    )(a, v)
-    return out.astype(v.dtype)
+    )(a, v[:, None, :])
+    return out[:, 0, :].astype(v.dtype)
 
 
 def stack_matvec(a, v):
