@@ -154,6 +154,13 @@ class Stepper:
     #: 'onehot' = on-the-fly one-hot matmul picks, 'take' = in-window
     #: dynamic picks, False/None-auto-off = gather-table path.
     windowed_nl: str | bool | None = None
+    #: run single-RHS multifrontal solves as an N-wide broadcast panel and
+    #: take lane 0: counterintuitive but measured 35% faster on v5e (2.36
+    #: -> 1.53 ms at stock 56k) — (1, n)-shaped vector ops waste 7/8 of
+    #: the sublane dim, and XLA picks matmul-shaped (faster) lowerings for
+    #: the panel. Bitwise-identical result (all lanes compute the same).
+    #: None = auto: 8 on accelerator backends, off on CPU.
+    solve_panel: int | None = None
     trisolve: str = "xla"  # 'xla' (blocked matmuls) | 'pallas' (fused kernel)
     block_lu_bs: int = 1024
     #: above this size, XLA's LU custom call exhausts VMEM on v5e — use our
@@ -584,11 +591,11 @@ class Stepper:
         # element pass of the step (ops/cellwindows.py)
         dev["nl_win"] = None
         if self.windowed_nl is None:
-            # opt-in until the on-device profile confirms XLA fuses the
-            # on-the-fly one-hot into the window matmuls (if it materializes
-            # the mask in HBM instead, the gather path wins) — flip to the
-            # banded_operators auto rule once measured
-            self.windowed_nl = False
+            # auto-on in the banded regime: the on-chip profile measured
+            # the windowed one-hot N(u) at 0.53 ms vs 3.5 ms for the
+            # gather-table pass (stock O1, in-loop scan protocol) — the
+            # largest single step-component win of round 3
+            self.windowed_nl = "onehot" if self.banded_operators else False
         self._nl_win_static = None
         if self.windowed_nl:
             from flowcontrol_tpu.ops.cellwindows import build_cell_windows
@@ -708,6 +715,14 @@ class Stepper:
         if self._solver_kinds[oi] == "multifrontal":
             from flowcontrol_tpu.solvers.multifrontal import multifrontal_solve
 
+            panel = self.solve_panel
+            if panel is None:
+                panel = 8 if jax.default_backend() != "cpu" else 0
+            if panel and rhs.ndim == 1:
+                rhs_p = jnp.broadcast_to(rhs, (int(panel),) + rhs.shape)
+                return multifrontal_solve(
+                    dev["solvers"][oi], rhs_p, **self._schur_static[oi]
+                )[0]
             return multifrontal_solve(
                 dev["solvers"][oi], rhs, **self._schur_static[oi]
             )

@@ -24,6 +24,13 @@ import numpy as np
 from flowcontrol_tpu.fem import element as el
 from flowcontrol_tpu.mesh.dofmap import TaylorHoodSpace
 
+# Device einsums that touch solution values run at HIGH matmul precision:
+# at DEFAULT the TPU MXU truncates f32 operands to bf16 (~2^-9 relative
+# per contraction) — measured rel_err 4.5e-3 on N(u) at stock 56k
+# (tools/nl_variant_ab.py). HIGH (bf16x3) restores ~1e-5-class accuracy
+# for a modest cost on these small contractions; CPU ignores the flag.
+_PREC = jax.lax.Precision.HIGH
+
 # Velocity local dof (node a, comp c) -> mixed local index 2a + c.
 _VEL_IDX = np.arange(12).reshape(6, 2)  # [a, c] -> local mixed index
 _P_IDX = np.arange(12, 15)
@@ -257,7 +264,7 @@ def gather_assemble(ye_flat, table, n_dofs: int):
 def apply_element_tensors_gather(a_e, cell_dofs, table, x, n_dofs: int):
     """y = A x via gather-table assembly. Supports leading batch dims."""
     xe = x[..., cell_dofs]  # (..., nc, 15)
-    ye = jnp.einsum("cij,...cj->...ci", a_e, xe)
+    ye = jnp.einsum("cij,...cj->...ci", a_e, xe, precision=_PREC)
     return gather_assemble(ye.reshape(x.shape[:-1] + (-1,)), table, n_dofs)
 
 
@@ -268,7 +275,7 @@ def apply_element_tensors(a_e, cell_dofs, x, n_dofs: int):
     device scan loops).
     """
     xe = x[..., cell_dofs]  # (..., nc, 15)
-    ye = jnp.einsum("cij,...cj->...ci", a_e, xe)
+    ye = jnp.einsum("cij,...cj->...ci", a_e, xe, precision=_PREC)
     batch = x.shape[:-1]
     y = jnp.zeros(batch + (n_dofs,), dtype=ye.dtype)
     return y.at[..., cell_dofs.reshape(-1)].add(ye.reshape(batch + (-1,)))
@@ -281,10 +288,13 @@ def _nonlinear_contributions(geom_dev, space: TaylorHoodSpace, u_mixed):
         u_mixed.shape[:-1] + (n_vnodes, 2)
     )
     u_e = u_nodes[..., space.cell_vel_nodes, :]  # (..., nc, 6, 2)
-    u_q = jnp.einsum("qn,...cnd->...cqd", geom_dev["phi2"], u_e)
-    g_q = jnp.einsum("cqni,...cnd->...cqid", geom_dev["dphi2"], u_e)  # ∂u_d/∂x_i
-    conv_q = jnp.einsum("...cqi,...cqid->...cqd", u_q, g_q)
-    r_e = jnp.einsum("cq,qa,...cqd->...cad", geom_dev["wq"], geom_dev["phi2"], conv_q)
+    u_q = jnp.einsum("qn,...cnd->...cqd", geom_dev["phi2"], u_e,
+                     precision=_PREC)
+    g_q = jnp.einsum("cqni,...cnd->...cqid", geom_dev["dphi2"], u_e,
+                     precision=_PREC)  # ∂u_d/∂x_i
+    conv_q = jnp.einsum("...cqi,...cqid->...cqd", u_q, g_q, precision=_PREC)
+    r_e = jnp.einsum("cq,qa,...cqd->...cad", geom_dev["wq"],
+                     geom_dev["phi2"], conv_q, precision=_PREC)
     return r_e.reshape(u_mixed.shape[:-1] + (-1,))
 
 

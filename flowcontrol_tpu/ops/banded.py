@@ -37,6 +37,12 @@ logger = logging.getLogger(__name__)
 
 _R = 128  # row-block height = TPU lane width
 
+# HIGH matmul precision: the tile einsum is matmul-shaped, so at DEFAULT
+# the MXU truncates the f32 operand values to bf16 (~2^-9 relative) —
+# measured on-chip at stock 56k (tools/solve_precision_ab.py). CPU
+# ignores the flag.
+_PREC = jax.lax.Precision.HIGH
+
 
 def build_banded(mat, dtype=np.float32, max_bytes: int = 6_000_000_000):
     """Host-side build: CSR -> (device tree, static meta) or None if too big.
@@ -122,6 +128,6 @@ def banded_matvec(tree, x):
     )
     xw = xpad.reshape(batch + (nb + w2 // r, r))
     xwin = jnp.take(xw, tree["win"], axis=-2).reshape(batch + (nb, w2))
-    yp = jnp.einsum("brw,...bw->...br", tiles, xwin)
+    yp = jnp.einsum("brw,...bw->...br", tiles, xwin, precision=_PREC)
     yp = yp.reshape(batch + (nb * r,))[..., :n]
     return jnp.take(yp, tree["iperm"], axis=-1)

@@ -37,11 +37,20 @@ import logging
 import numpy as np
 
 import jax.numpy as jnp
+from jax import lax
 
 logger = logging.getLogger(__name__)
 
 _RC = 128  # cell-block height
 _RN = 128  # node-window row granularity
+
+# All einsums in the windowed pass run at HIGH matmul precision: at
+# DEFAULT the MXU truncates f32 operands to bf16 (~2^-9 relative), which
+# an on-chip A/B (tools/nl_variant_ab.py, stock O1 56k) measured as
+# rel_err 5.0e-3 on N(u) — visibly bending the stock trajectory. HIGH
+# (bf16x3) restores 3.1e-5 for 0.86 -> 1.02 ms; HIGHEST reaches 1.1e-7
+# at 1.20 ms. HIGH is the production point.
+_PREC = lax.Precision.HIGH
 
 
 def build_cell_windows(cell_vel_nodes: np.ndarray, n_vnodes: int,
@@ -151,7 +160,7 @@ def nonlinear_convection_windowed(tree, static, u_mixed, n_dofs: int):
     if static["variant"] == "onehot":
         oh = (tree["rel"][:, :, None]
               == jnp.arange(w, dtype=jnp.int32)[None, None, :]).astype(dt)
-        u_e = jnp.einsum("bmw,...bwd->...bmd", oh, uwin)
+        u_e = jnp.einsum("bmw,...bwd->...bmd", oh, uwin, precision=_PREC)
     else:  # 'take': in-window dynamic pick
         u_e = jnp.take_along_axis(
             uwin,
@@ -164,14 +173,17 @@ def nonlinear_convection_windowed(tree, static, u_mixed, n_dofs: int):
 
     # per-cell quadrature (same math as fem.assembly._nonlinear_contributions,
     # on the window-ordered geometry; padded cells have wq=0 => r_e=0)
-    u_q = jnp.einsum("qn,...cnd->...cqd", tree["phi2"], u_e)
-    g_q = jnp.einsum("cqni,...cnd->...cqid", tree["dphi2"], u_e)
-    conv_q = jnp.einsum("...cqi,...cqid->...cqd", u_q, g_q)
-    r_e = jnp.einsum("cq,qa,...cqd->...cad", tree["wq"], tree["phi2"], conv_q)
+    u_q = jnp.einsum("qn,...cnd->...cqd", tree["phi2"], u_e,
+                     precision=_PREC)
+    g_q = jnp.einsum("cqni,...cnd->...cqid", tree["dphi2"], u_e,
+                     precision=_PREC)
+    conv_q = jnp.einsum("...cqi,...cqid->...cqd", u_q, g_q, precision=_PREC)
+    r_e = jnp.einsum("cq,qa,...cqd->...cad", tree["wq"], tree["phi2"],
+                     conv_q, precision=_PREC)
     r_e = r_e.reshape(batch + (nb, _RC * n_loc, 2))
 
     if static["variant"] == "onehot":
-        yw = jnp.einsum("bmw,...bmd->...bwd", oh, r_e)
+        yw = jnp.einsum("bmw,...bmd->...bwd", oh, r_e, precision=_PREC)
     else:
         yw = jnp.zeros(batch + (nb, w, 2), dtype=dt).at[
             ...,

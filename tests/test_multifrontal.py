@@ -235,3 +235,62 @@ def test_einsum_pallas_matches_xla(bdf2_system, tmp_path, monkeypatch):
     xb = np.asarray(multifrontal_solve(
         mf.tree(), np.stack([b, b]), **st))
     np.testing.assert_allclose(xb[0], xb[1], rtol=0, atol=0)
+
+
+def test_solve_panel_lane0_matches_single(bdf2_system, tmp_path, monkeypatch):
+    """The stepper's solve_panel trick (broadcast the single RHS to an
+    N-wide panel, keep lane 0 — measured 35% faster on v5e because (1,n)
+    vector ops waste the sublane dim) must be numerically indistinguishable
+    from the single-RHS solve: all lanes bitwise-equal, lane 0 within
+    reduction-order noise of the unbatched solve."""
+    from flowcontrol_tpu.solvers.multifrontal import multifrontal_solve
+
+    monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
+    a_bc, coords = bdf2_system
+    mf = MultifrontalLU(a_bc, coords, leaf_max=700, dtype=jax.numpy.float32)
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(a_bc.shape[0]).astype(np.float32)
+    st = mf.static()
+    x1 = np.asarray(multifrontal_solve(mf.tree(), b, **st))
+    import jax.numpy as jnp
+
+    xp = np.asarray(multifrontal_solve(
+        mf.tree(), jnp.broadcast_to(jnp.asarray(b), (8, b.shape[0])), **st))
+    assert xp.shape == (8,) + b.shape
+    for lane in range(1, 8):
+        np.testing.assert_array_equal(xp[lane], xp[0])
+    rel = np.linalg.norm(xp[0] - x1) / np.linalg.norm(x1)
+    assert rel < 2e-5, rel
+
+
+def test_stepper_solve_panel_trajectory(tmp_path, monkeypatch):
+    """End-to-end: forcing stepper_options solve_panel=4 through the
+    multifrontal path reproduces the panel-off trajectory."""
+    from flowcontrol_tpu.core.stepper import Stepper
+    from flowcontrol_tpu.models.lidcavity import LidCavityFlowSolver
+
+    monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
+    monkeypatch.setenv("FLOWCONTROL_TPU_HBM_GB", "0.002")
+    monkeypatch.setattr(Stepper, "LAPACK_LU_MAX_N", 300)
+
+    def run(panel):
+        fs = LidCavityFlowSolver.make_default(
+            Re=500, num_steps=6, verbose=0, n_mesh=12,
+            path_out=tmp_path / f"panel{panel}",
+            solver_backend="dense_lu", precision="f32",
+            stepper_options={"solve_panel": panel},
+        )
+        fs.compute_steady_state(u_ctrl=[0.0], method="picard", max_iter=4)
+        fs.initialize_time_stepping()
+        for _ in range(5):
+            y = fs.step(np.array([0.01]))
+        assert "multifrontal" in fs._stepper._solver_kinds
+        return y, np.asarray(fs.fields.up_)
+
+    y0, x0 = run(0)
+    y4, x4 = run(4)
+    # the panel changes the XLA lowering (batched vs single) so each
+    # solve differs by f32 reduction order; over 5 nonlinear steps this
+    # accumulates to the same ~1e-3 class as the f32-vs-f64 backend test
+    assert np.linalg.norm(x4 - x0) / np.linalg.norm(x0) < 1e-3
+    np.testing.assert_allclose(y4, y0, rtol=1e-3, atol=1e-5)

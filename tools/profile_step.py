@@ -205,6 +205,36 @@ def _solve_microbench(st, oi):
                   f"{len(ok)}/{len(stages)} stages aligned)")
         except Exception as e:
             print(f"  (pallas leg failed: {type(e).__name__})")
+    # the NON-einsum half of the solve: inbox gather-sums (forward) and
+    # boundary gathers (backward) at the real shapes/tables
+    meta = st._schur_static[oi]["stages"]
+    total_contrib = st._schur_static[oi]["total_contrib"]
+    total = st._schur_static[oi]["total"]
+    itabs = [{"t": jnp.asarray(s["inbox_t"])} for s in stages]
+    n_gathered = sum(int(np.prod(s["inbox_t"].shape)) for s in stages)
+
+    def inbox_legs(tabs, buf):
+        outs = []
+        for tb in tabs:
+            padded = jnp.concatenate([buf, jnp.zeros((1,), buf.dtype)])
+            outs.append(jnp.take(padded, tb["t"], axis=-1).sum(axis=-2))
+        return outs
+
+    buf0 = jnp.zeros((total_contrib,), jnp.float32)
+    t_inbox = timed(inbox_legs, itabs, buf0, reps=200)
+    print(f"  inbox gather-sums alone:  {t_inbox:7.3f} ms "
+          f"({n_gathered / 1e6:.2f} M gathered elems)")
+
+    btabs = [{"t": jnp.asarray(s["bd"])} for s in stages]
+    n_bd = sum(int(s["bd"].shape[0]) for s in stages)
+
+    def bd_legs(tabs, x):
+        return [jnp.take(x, tb["t"], axis=-1) for tb in tabs]
+
+    x0 = jnp.zeros((total + 1,), jnp.float32)
+    t_bd = timed(bd_legs, btabs, x0, reps=200)
+    print(f"  bwd bd gathers alone:     {t_bd:7.3f} ms "
+          f"({n_bd / 1e3:.0f} k gathered elems)")
     print(f"  factor bytes fwd/bwd: {fwd_bytes / 2**30:.2f} / "
           f"{bwd_bytes / 2**30:.2f} GB, {len(stages)} stages")
 
