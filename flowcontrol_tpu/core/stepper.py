@@ -155,11 +155,13 @@ class Stepper:
     #: dynamic picks, False/None-auto-off = gather-table path.
     windowed_nl: str | bool | None = None
     #: run single-RHS multifrontal solves as an N-wide broadcast panel and
-    #: take lane 0: counterintuitive but measured 35% faster on v5e (2.36
-    #: -> 1.53 ms at stock 56k) — (1, n)-shaped vector ops waste 7/8 of
-    #: the sublane dim, and XLA picks matmul-shaped (faster) lowerings for
-    #: the panel. Bitwise-identical result (all lanes compute the same).
-    #: None = auto: 8 on accelerator backends, off on CPU.
+    #: take lane 0: (1, n)-shaped vector ops waste 7/8 of the sublane dim,
+    #: and XLA picks matmul-shaped lowerings for the panel. The sweep
+    #: einsums pin HIGHEST matmul precision (solvers/multifrontal.py) so
+    #: the panel is exact-f32 class; measured on v5e at stock 56k
+    #: (tools/solve_precision_ab.py): 2.89 ms panel vs 3.00 ms vector
+    #: path, per-solve rel err 5.6e-8 vs 1.0e-7. Lanes are bitwise
+    #: identical. None = auto: 8 on accelerator backends, off on CPU.
     solve_panel: int | None = None
     trisolve: str = "xla"  # 'xla' (blocked matmuls) | 'pallas' (fused kernel)
     block_lu_bs: int = 1024
@@ -591,10 +593,12 @@ class Stepper:
         # element pass of the step (ops/cellwindows.py)
         dev["nl_win"] = None
         if self.windowed_nl is None:
-            # auto-on in the banded regime: the on-chip profile measured
-            # the windowed one-hot N(u) at 0.53 ms vs 3.5 ms for the
-            # gather-table pass (stock O1, in-loop scan protocol) — the
-            # largest single step-component win of round 3
+            # auto-on in the banded regime: the on-chip A/B
+            # (tools/nl_variant_ab.py, v5e, stock O1, in-loop scan
+            # protocol) measured the windowed one-hot N(u) at 1.01 ms vs
+            # 1.96 ms for the scatter-add pass at identical accuracy
+            # (3.1e-5 vs host f64, the f32 floor, with the HIGH-precision
+            # einsums pinned in ops/cellwindows.py)
             self.windowed_nl = "onehot" if self.banded_operators else False
         self._nl_win_static = None
         if self.windowed_nl:

@@ -54,6 +54,17 @@ from flowcontrol_tpu.solvers.tridiag import graph_levels
 
 logger = logging.getLogger(__name__)
 
+# Sweep einsums run at HIGHEST matmul precision: with a panel or batch
+# dim they lower to MXU matmuls, and at DEFAULT the MXU truncates the
+# f32 operands to bf16 — measured on-chip at stock 56k
+# (tools/solve_precision_ab.py): per-solve rel err 7.6e-4 at DEFAULT,
+# 6.5e-5 at HIGH, 5.6e-8 at HIGHEST vs 1.0e-7 for the exact single-RHS
+# vector path. A direct solver's selling point is backward stability, so
+# HIGHEST (2.89 ms vs 2.64/2.16 at stock, still faster than the 3.00 ms
+# vector path) is the only defensible point. Single-RHS VPU lowerings
+# and CPU ignore the flag.
+_PREC = jax.lax.Precision.HIGHEST
+
 
 @dataclass
 class _Node:
@@ -797,14 +808,14 @@ def multifrontal_solve(dev, b, n: int, total: int, total_contrib: int,
         inc = _gather_sum_t(buf, st["inbox_t"])[..., : m * e_max]
         xe = (xe - inc).reshape(batch + (m, e_max))
         if ji:
-            z = jnp.einsum("mji,...mj->...mi", st[inv_k], xe)
-            upd = jnp.einsum("mib,...mi->...mb", st[fbi_k], z)
+            z = jnp.einsum("mji,...mj->...mi", st[inv_k], xe, precision=_PREC)
+            upd = jnp.einsum("mib,...mi->...mb", st[fbi_k], z, precision=_PREC)
         elif use_pallas and e_max % 128 == 0 and b_max % 128 == 0:
             z = stack_matvec(st[inv_k], xe)
             upd = stack_matvec(st[fbi_k], z)
         else:
-            z = jnp.einsum("mij,...mj->...mi", st[inv_k], xe)
-            upd = jnp.einsum("mbi,...mi->...mb", st[fbi_k], z)
+            z = jnp.einsum("mij,...mj->...mi", st[inv_k], xe, precision=_PREC)
+            upd = jnp.einsum("mbi,...mi->...mb", st[fbi_k], z, precision=_PREC)
         buf = jax.lax.dynamic_update_slice_in_dim(
             buf, upd.reshape(batch + (m * b_max,)), c_off, axis=-1
         )
@@ -820,11 +831,11 @@ def multifrontal_solve(dev, b, n: int, total: int, total_contrib: int,
         e_max, b_max, m, off, c_off = stages[si]
         xb = x[..., st["bd"]]  # gather: ancestor slots are final
         if ji:
-            corr = jnp.einsum("mbi,...mb->...mi", st[ginv_k], xb)
+            corr = jnp.einsum("mbi,...mb->...mi", st[ginv_k], xb, precision=_PREC)
         elif use_pallas and e_max % 128 == 0 and b_max % 128 == 0:
             corr = stack_matvec(st[ginv_k], xb)
         else:
-            corr = jnp.einsum("mib,...mb->...mi", st[ginv_k], xb)
+            corr = jnp.einsum("mib,...mb->...mi", st[ginv_k], xb, precision=_PREC)
         z = jax.lax.dynamic_slice_in_dim(
             x, off, m * e_max, axis=-1
         ).reshape(batch + (m, e_max))

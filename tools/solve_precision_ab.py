@@ -25,6 +25,8 @@ def timed_scan(fn, tree, x, reps=50):
     # bakes them into the remote-compile request (HTTP 413 on the tunnel)
     def body(c, _, tr):
         y = fn(tr, c)
+        if y.ndim > c.ndim:  # panel legs: fold back to lane 0
+            y = y[0]
         c2 = jax.lax.optimization_barrier(c + 0.0 * y[..., : c.shape[-1]])
         return c2, ()
 
