@@ -339,16 +339,16 @@ def main():
             # context only — the most recent on-chip numbers this bench
             # produced before the relay outage (NOT this run's result)
             "last_measured": {
-                "date": "2026-08-17",
+                "date": "2026-08-18",
                 "stock_56k": {
-                    "single_steps_per_sec": 89.7, "single_vs_cpu": 11.8,
-                    "batched_agg_steps_per_sec": 8850, "batched_B": 256,
+                    "single_steps_per_sec": 212.7, "single_vs_cpu": 28.1,
+                    "batched_agg_steps_per_sec": 9714, "batched_B": 256,
                     "setup_compile_s": 37,
                 },
                 "cavity_235k": {
-                    "single_steps_per_sec": 11.8, "single_vs_cpu": 7.7,
-                    "batched_agg_steps_per_sec": 124, "batched_B": 16,
-                    "prepare_s": 142,
+                    "single_steps_per_sec": 24.1, "single_vs_cpu": 15.7,
+                    "batched_agg_steps_per_sec": 270, "batched_B": 16,
+                    "prepare_s": 184,
                 },
             },
         }))

@@ -123,12 +123,30 @@ def build_cell_windows(cell_vel_nodes: np.ndarray, n_vnodes: int,
         "perm": jnp.asarray(perm, dtype=jnp.int32),  # new pos -> old node
         "iperm": jnp.asarray(inew, dtype=jnp.int32),  # old node -> new pos
     }
+    # Chunk the one-hot contraction when the full (nb, RC*n_loc, w) mask
+    # would be large: XLA is free to materialize it (observed at the 235k
+    # cavity: a vectorized f32[8,406,768,1536] = 14.3 GB AllocateBuffer in
+    # a non-scan compile — an HBM OOM), so above the budget the block axis
+    # is processed in lax.map groups sized to keep any materialization
+    # bounded. 0 = unchunked (the 56k mask is ~0.3 GB and always fuses).
+    budget = float(
+        __import__("os").environ.get("FC_NL_ONEHOT_BUDGET_MB", "512")
+    ) * 2**20
+    oh_bytes = nb * (_RC * n_loc) * w * np.dtype(dtype).itemsize
+    chunk = 0
+    if oh_bytes > budget:
+        chunk = max(int(nb * budget / oh_bytes), 1)
+        logger.info(
+            "cell windows: one-hot mask %.2f GB > budget — chunking the "
+            "block axis at %d blocks/group", oh_bytes / 2**30, chunk,
+        )
     static = {
         "n_vnodes": n_vnodes,
         "n_loc": n_loc,
         "w": w,
         "n_rows": n_rows,
         "variant": "onehot",
+        "chunk": chunk,
     }
     return tree, static
 
@@ -157,10 +175,59 @@ def nonlinear_convection_windowed(tree, static, u_mixed, n_dofs: int):
     u_nodes = jnp.take(u_nodes, tree["perm"], axis=-2)  # RCM node order
     uwin = _window_rows(tree, static, u_nodes)  # (..., nb, w, 2)
 
-    if static["variant"] == "onehot":
-        oh = (tree["rel"][:, :, None]
+    def _blocks(rel_b, wq_b, dphi2_b, uwin_b):
+        """One-hot pick -> quadrature -> one-hot scatter for a group of
+        cell blocks; ``*_b`` leaves carry a leading block axis of the
+        group's size (uwin_b: batch + (g, w, 2))."""
+        g = rel_b.shape[0]
+        oh = (rel_b[:, :, None]
               == jnp.arange(w, dtype=jnp.int32)[None, None, :]).astype(dt)
-        u_e = jnp.einsum("bmw,...bwd->...bmd", oh, uwin, precision=_PREC)
+        u_e = jnp.einsum("bmw,...bwd->...bmd", oh, uwin_b, precision=_PREC)
+        u_e = u_e.reshape(batch + (g * _RC, n_loc, 2))
+        # per-cell quadrature (same math as
+        # fem.assembly._nonlinear_contributions, on the window-ordered
+        # geometry; padded cells have wq=0 => r_e=0)
+        u_q = jnp.einsum("qn,...cnd->...cqd", tree["phi2"], u_e,
+                         precision=_PREC)
+        g_q = jnp.einsum("cqni,...cnd->...cqid", dphi2_b, u_e,
+                         precision=_PREC)
+        conv_q = jnp.einsum("...cqi,...cqid->...cqd", u_q, g_q,
+                            precision=_PREC)
+        r_e = jnp.einsum("cq,qa,...cqd->...cad", wq_b, tree["phi2"],
+                         conv_q, precision=_PREC)
+        r_e = r_e.reshape(batch + (g, _RC * n_loc, 2))
+        return jnp.einsum("bmw,...bmd->...bwd", oh, r_e, precision=_PREC)
+
+    chunk = static.get("chunk", 0)
+    if static["variant"] == "onehot" and chunk:
+        # bound any materialized one-hot: process the block axis in
+        # lax.map groups of `chunk` blocks (see build_cell_windows)
+        ng = -(-nb // chunk)
+        nbp = ng * chunk
+
+        def _padb(a, axis):
+            widths = [(0, 0)] * a.ndim
+            widths[axis] = (0, nbp - nb)
+            return jnp.pad(a, widths)
+
+        nbatch = len(batch)
+        xs = (
+            _padb(tree["rel"], 0).reshape(ng, chunk, _RC * n_loc),
+            _padb(tree["wq"].reshape(nb, _RC, -1), 0)
+            .reshape(ng, chunk * _RC, -1),
+            _padb(
+                tree["dphi2"].reshape((nb, _RC) + tree["dphi2"].shape[1:]), 0
+            ).reshape((ng, chunk * _RC) + tree["dphi2"].shape[1:]),
+            jnp.moveaxis(
+                _padb(uwin, nbatch).reshape(batch + (ng, chunk, w, 2)),
+                nbatch, 0,
+            ),
+        )
+        yw = lax.map(lambda c: _blocks(*c), xs)  # (ng,)+batch+(chunk, w, 2)
+        yw = jnp.moveaxis(yw, 0, nbatch).reshape(batch + (nbp, w, 2))
+        yw = yw[..., :nb, :, :]
+    elif static["variant"] == "onehot":
+        yw = _blocks(tree["rel"], tree["wq"], tree["dphi2"], uwin)
     else:  # 'take': in-window dynamic pick
         u_e = jnp.take_along_axis(
             uwin,
@@ -169,22 +236,16 @@ def nonlinear_convection_windowed(tree, static, u_mixed, n_dofs: int):
             ).astype(jnp.int32),
             axis=-2,
         )
-    u_e = u_e.reshape(batch + (nb * _RC, n_loc, 2))
-
-    # per-cell quadrature (same math as fem.assembly._nonlinear_contributions,
-    # on the window-ordered geometry; padded cells have wq=0 => r_e=0)
-    u_q = jnp.einsum("qn,...cnd->...cqd", tree["phi2"], u_e,
-                     precision=_PREC)
-    g_q = jnp.einsum("cqni,...cnd->...cqid", tree["dphi2"], u_e,
-                     precision=_PREC)
-    conv_q = jnp.einsum("...cqi,...cqid->...cqd", u_q, g_q, precision=_PREC)
-    r_e = jnp.einsum("cq,qa,...cqd->...cad", tree["wq"], tree["phi2"],
-                     conv_q, precision=_PREC)
-    r_e = r_e.reshape(batch + (nb, _RC * n_loc, 2))
-
-    if static["variant"] == "onehot":
-        yw = jnp.einsum("bmw,...bmd->...bwd", oh, r_e, precision=_PREC)
-    else:
+        u_e = u_e.reshape(batch + (nb * _RC, n_loc, 2))
+        u_q = jnp.einsum("qn,...cnd->...cqd", tree["phi2"], u_e,
+                         precision=_PREC)
+        g_q = jnp.einsum("cqni,...cnd->...cqid", tree["dphi2"], u_e,
+                         precision=_PREC)
+        conv_q = jnp.einsum("...cqi,...cqid->...cqd", u_q, g_q,
+                            precision=_PREC)
+        r_e = jnp.einsum("cq,qa,...cqd->...cad", tree["wq"], tree["phi2"],
+                         conv_q, precision=_PREC)
+        r_e = r_e.reshape(batch + (nb, _RC * n_loc, 2))
         yw = jnp.zeros(batch + (nb, w, 2), dtype=dt).at[
             ...,
             jnp.arange(nb)[:, None],

@@ -313,6 +313,15 @@ class MultifrontalLU:
             payload = _repack_dp(payload, n, lam_bytes=lam_mb * 2**20)
         elif pack != "bucket":
             raise ValueError(f"FC_MF_PACK must be 'dp'|'bucket', got {pack}")
+        # segmented inbox gathers (see _unpack): 'split' sorts each stage's
+        # nodes by inbox load so the gather tables shrink to the real
+        # contribution count; 'full' keeps one max-kmax table per stage
+        self.inbox = os.environ.get("FC_MF_INBOX", "split")
+        if self.inbox not in ("split", "full"):
+            raise ValueError(f"FC_MF_INBOX must be 'split'|'full', "
+                             f"got {self.inbox}")
+        if self.inbox == "split":
+            payload = _sort_nodes_by_inbox_load(payload, n)
         self._unpack(payload, dtype)
         logger.info(
             "multifrontal: ready in %.1fs — %d depths, factor %.2f GB",
@@ -570,17 +579,45 @@ class MultifrontalLU:
             # them all by the time this stage gathers. Stored TRANSPOSED
             # (kmax, width): TPU pads the minor-most dim to 128 lanes, so
             # a (width, kmax~small) layout balloons ~40x.
+            #
+            # SEGMENTED (self.inbox == 'split'): nodes arrive sorted by
+            # descending inbox load (_sort_nodes_by_inbox_load), so the
+            # single max-kmax table splits into a few per-load-bucket
+            # tables and the untargeted tail (every leaf stage) gathers
+            # NOTHING — gather volume drops from width x kmax to ~the
+            # real contribution count (measured 0.15M -> ~0.05M indices
+            # at stock 56k, and the widest stages are the all-leaf ones).
             width = elim_idx.size
             off = offsets[di]
+            e_max_d = elim_idx.shape[1]
+            m_d = elim_idx.shape[0]
             dloc = dest - off
             dloc = np.where((dest >= off) & (dloc < width), dloc, width)
-            inbox = _table_skip_pads(dloc, width)
-            table_bytes += inbox.nbytes // 2  # int32 on device
+            cnt = np.bincount(dloc[dloc < width], minlength=width)
+            node_load = cnt.reshape(m_d, e_max_d).max(axis=1)
+            if self.inbox == "split":
+                segs = _inbox_segments(node_load)
+            else:
+                segs = [(0, m_d, max(int(node_load.max(initial=0)), 1))]
+            inbox_ts = []
+            seg_static = []
+            for (m0, m1, kcap) in segs:
+                ln = (m1 - m0) * e_max_d
+                if kcap == 0 or ln == 0:
+                    seg_static.append((m0, m1, False))
+                    continue
+                lo = m0 * e_max_d
+                dseg = dloc - lo
+                dseg = np.where((dloc >= lo) & (dseg < ln), dseg, ln)
+                tab = _table_skip_pads(dseg, ln)
+                table_bytes += tab.nbytes // 2  # int32 on device
+                inbox_ts.append(jnp.asarray(
+                    np.ascontiguousarray(tab.T.astype(np.int32))
+                ))
+                seg_static.append((m0, m1, True))
             stage = {
                 "bd": jnp.asarray(bd_slots.astype(np.int32)),
-                "inbox_t": jnp.asarray(
-                    np.ascontiguousarray(inbox.T.astype(np.int32))
-                ),
+                "inbox_ts": tuple(inbox_ts),
             }
             if self.layout == "ji":
                 # pre-transposed keys: distinct names so a consumer built
@@ -602,7 +639,7 @@ class MultifrontalLU:
             dev["stages"].append(stage)
             self._stage_static.append(
                 (elim_idx.shape[1], bd_idx.shape[1], elim_idx.shape[0],
-                 offsets[di], c_offsets[di])
+                 offsets[di], c_offsets[di], tuple(seg_static))
             )
         logger.info(
             "multifrontal: %d contributions, inbox tables %.1f MB",
@@ -729,6 +766,69 @@ def _repack_dp(payload: dict, n: int, lam_bytes: float) -> dict:
     return out
 
 
+def _sort_nodes_by_inbox_load(payload: dict, n: int) -> dict:
+    """Sort every stage's nodes by DESCENDING inbox load (incoming
+    forward-sweep contributions to the node's eliminated dofs) so the
+    per-stage inbox gather can be SEGMENTED (see _unpack): a handful of
+    heavily-targeted separator nodes get a fat-kmax table, the long tail
+    gets skinny ones, and untargeted nodes (every leaf stage) get NO
+    gather at all. The node order within a stage is arbitrary by
+    construction, so this is a pure in-memory permutation of the stage
+    stacks — the disk cache format is untouched."""
+    n_stages = len(payload["depth_order"])
+    counts = np.zeros(n + 1, dtype=np.int64)
+    for di in range(n_stages):
+        bd = payload[f"bd_{di}"].reshape(-1)
+        real = bd[bd < n]
+        if len(real):
+            counts[:n] += np.bincount(real, minlength=n)
+    out = dict(payload)
+    for di in range(n_stages):
+        elim = payload[f"elim_{di}"]
+        load = counts[np.minimum(elim, n)].max(axis=1)
+        order = np.argsort(-load, kind="stable")
+        if np.array_equal(order, np.arange(len(order))):
+            continue
+        for nm in ("elim", "bd", "inv", "ginv", "fbi"):
+            out[f"{nm}_{di}"] = np.ascontiguousarray(
+                payload[f"{nm}_{di}"][order]
+            )
+    return out
+
+
+def _inbox_segments(node_load: np.ndarray, max_segs: int = 4):
+    """Segment a DESC-sorted node-load vector into ≤ max_segs groups of
+    similar kmax (power-of-two buckets, adjacent-merge down to the cap).
+    Returns [(m0, m1, kcap)] with kcap == 0 for the untargeted tail."""
+    m = len(node_load)
+    if m == 0:
+        return [(0, 0, 0)]
+    bucket = np.where(
+        node_load <= 0, 0,
+        2 ** np.ceil(np.log2(np.maximum(node_load, 1))).astype(np.int64),
+    )
+    # boundaries where the bucket value changes (desc-sorted ⇒ monotone)
+    cuts = [0] + list(np.flatnonzero(np.diff(bucket)) + 1) + [m]
+    segs = [(cuts[i], cuts[i + 1], int(bucket[cuts[i]]))
+            for i in range(len(cuts) - 1)]
+    # merge smallest-cost boundaries until within the cap (keep the
+    # zero-load tail separate — merging it would re-pad it with gathers)
+    while len(segs) > max_segs:
+        best, cost = None, None
+        for i in range(len(segs) - 1):
+            (a0, a1, ka), (b0, b1, kb) = segs[i], segs[i + 1]
+            if kb == 0:
+                continue
+            c = (b1 - b0) * (ka - kb)  # extra padded gathers if merged
+            if cost is None or c < cost:
+                best, cost = i, c
+        if best is None:
+            break
+        (a0, _, ka), (_, b1, _) = segs[best], segs[best + 1]
+        segs[best: best + 2] = [(a0, b1, ka)]
+    return segs
+
+
 def _table_skip_pads(dest: np.ndarray, n_out: int) -> np.ndarray:
     """Transposed-scatter gather table over destinations ``dest`` (pad
     entries == n_out are excluded; they point at the appended-zero slot).
@@ -801,12 +901,30 @@ def multifrontal_solve(dev, b, n: int, total: int, total_contrib: int,
     # forward: deepest stages first (stage list is ordered deep -> root)
     for si in range(n_stages):
         st = dev["stages"][si]
-        e_max, b_max, m, off, c_off = stages[si]
+        e_max, b_max, m, off, c_off, segs = stages[si]
         xe = jax.lax.dynamic_slice_in_dim(
             x, off, m * e_max, axis=-1
         )
-        inc = _gather_sum_t(buf, st["inbox_t"])[..., : m * e_max]
-        xe = (xe - inc).reshape(batch + (m, e_max))
+        # segmented inbox reduction: gather only the targeted node
+        # segments; untargeted segments (all of every leaf stage)
+        # subtract nothing
+        pieces = []
+        ti = 0
+        for (m0, m1, tabbed) in segs:
+            ln = (m1 - m0) * e_max
+            if not tabbed:
+                continue
+            inc = _gather_sum_t(buf, st["inbox_ts"][ti])[..., :ln]
+            ti += 1
+            pieces.append((m0 * e_max, inc))
+        for lo, inc in pieces:
+            xe = jax.lax.dynamic_update_slice_in_dim(
+                xe,
+                jax.lax.dynamic_slice_in_dim(xe, lo, inc.shape[-1], axis=-1)
+                - inc,
+                lo, axis=-1,
+            )
+        xe = xe.reshape(batch + (m, e_max))
         if ji:
             z = jnp.einsum("mji,...mj->...mi", st[inv_k], xe, precision=_PREC)
             upd = jnp.einsum("mib,...mi->...mb", st[fbi_k], z, precision=_PREC)
@@ -828,7 +946,7 @@ def multifrontal_solve(dev, b, n: int, total: int, total_contrib: int,
     # backward: root first
     for si in reversed(range(n_stages)):
         st = dev["stages"][si]
-        e_max, b_max, m, off, c_off = stages[si]
+        e_max, b_max, m, off, c_off, _segs = stages[si]
         xb = x[..., st["bd"]]  # gather: ancestor slots are final
         if ji:
             corr = jnp.einsum("mbi,...mb->...mi", st[ginv_k], xb, precision=_PREC)

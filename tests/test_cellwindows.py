@@ -66,6 +66,30 @@ def test_windowed_nl_matches_gather(lid, variant):
     assert np.allclose(gotb, refb, atol=1e-12)
 
 
+@pytest.mark.parametrize("chunk", [1, 2])
+def test_windowed_nl_chunked_matches_gather(lid, chunk):
+    """The lax.map-chunked one-hot (the bounded-memory path used at the
+    235k cavity, where the full mask is multi-GB) is the same integral."""
+    space = lid.space
+    n = space.n_dofs
+    tree, static = _build(lid, "onehot")
+    static["chunk"] = chunk  # force grouping (incl. a padded last group)
+    geom_dev = geometry_device_tables(lid.forms.geom, dtype=np.float64)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(n)
+    ref = np.asarray(nonlinear_convection(geom_dev, space, jnp.asarray(x)))
+    got = np.asarray(
+        nonlinear_convection_windowed(tree, static, jnp.asarray(x), n)
+    )
+    assert np.allclose(got, ref, atol=1e-12)
+    xb = rng.standard_normal((2, n))
+    refb = np.asarray(nonlinear_convection(geom_dev, space, jnp.asarray(xb)))
+    gotb = np.asarray(
+        nonlinear_convection_windowed(tree, static, jnp.asarray(xb), n)
+    )
+    assert np.allclose(gotb, refb, atol=1e-12)
+
+
 def test_windowed_nl_survives_hostile_node_numbering(lid):
     """The reference's stock O1 mesh numbers nodes with NO spatial
     coherence (raw window width spans the whole node range); the RCM

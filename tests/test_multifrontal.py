@@ -206,7 +206,9 @@ def test_dp_repack_matches_bucket_and_shrinks_stages(bdf2_system, tmp_path,
     assert rel < 1e-11, rel
     # padded factor bytes must not grow under the default penalty
     size = lambda mf: sum(
-        v.nbytes for st in mf.tree()["stages"] for v in st.values()
+        v.nbytes
+        for st in mf.tree()["stages"]
+        for v in jax.tree_util.tree_leaves(st)
     )
     assert size(mf_d) <= 1.1 * size(mf_b)
 

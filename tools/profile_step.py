@@ -210,8 +210,10 @@ def _solve_microbench(st, oi):
     meta = st._schur_static[oi]["stages"]
     total_contrib = st._schur_static[oi]["total_contrib"]
     total = st._schur_static[oi]["total"]
-    itabs = [{"t": jnp.asarray(s["inbox_t"])} for s in stages]
-    n_gathered = sum(int(np.prod(s["inbox_t"].shape)) for s in stages)
+    itabs = [{"t": jnp.asarray(t)} for s in stages for t in s["inbox_ts"]]
+    n_gathered = sum(
+        int(np.prod(t.shape)) for s in stages for t in s["inbox_ts"]
+    )
 
     def inbox_legs(tabs, buf):
         outs = []

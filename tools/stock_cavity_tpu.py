@@ -31,13 +31,35 @@ def build(backend, precision):
         Re=7500, meshpath=MESH, num_steps=max(STEPS, 10), save_every=0,
         path_out=OUT, verbose=0, solver_backend=backend, precision=precision,
     )
-    fs.load_steady_state()  # cached base flow (tools/stock_cavity_parity.py)
+    base = (Path(__file__).resolve().parents[1] / "flowcontrol_tpu" / "models"
+            / "_baseflows" / f"cavity_re7500_n{fs.space.n_dofs}.npz")
+    if base.exists():
+        # committed artifact (interior steady residual 3e-12)
+        d = np.load(base)
+        fs._assign_steady_state(d["U0"], d["P0"])
+    else:
+        fs.load_steady_state()  # /tmp checkpoint (tools/stock_cavity_parity.py)
     return fs
+
+
+def parity32_main():
+    """Subprocess leg: 10 production-path f32 steps, results to npz."""
+    fs = build("dense_lu", "f32")
+    fs.initialize_time_stepping()
+    for _ in range(10):
+        y = fs.step(u_ctrl=np.zeros(fs.params_control.actuator_number))
+    OUT.mkdir(parents=True, exist_ok=True)
+    np.savez(OUT / "parity32.npz", y=np.asarray(y),
+             up=np.asarray(fs.fields.up_))
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    if os.environ.get("CAVITY_MODE") == "parity32":
+        parity32_main()
+        return
 
     print(f"# platform: {jax.devices()[0].platform}", flush=True)
 
@@ -85,21 +107,36 @@ def main():
     except Exception as e:
         print(f"# batched leg failed: {e}", flush=True)
 
-    # parity: 10 steps vs host_lu/f64 (same IC machinery)
+    # parity: 10 steps vs host_lu/f64. The f32 leg runs in a SUBPROCESS:
+    # the axon relay does not reclaim a client's HBM on buffer deletion,
+    # so compiling a second dense_lu instance in-process OOMs (observed:
+    # 25 G needed / 15.7 G available even after dropping every reference).
+    # A fresh client starts from an empty chip.
+    import subprocess
+
+    env = dict(os.environ, CAVITY_MODE="parity32")
+    rc = subprocess.run(
+        [sys.executable, __file__], env=env, capture_output=True, text=True,
+    )
+    sys.stderr.write(rc.stderr[-2000:])
+    if rc.returncode != 0:
+        print(f"# parity f32 subprocess failed rc={rc.returncode}",
+              flush=True)
+        y32 = up32 = None
+    else:
+        d = np.load(OUT / "parity32.npz")
+        y32, up32 = d["y"], d["up"]
     fs64 = build("host_lu", "f64")
     fs64.initialize_time_stepping()
     for _ in range(10):
         y64 = fs64.step(u_ctrl=np.zeros(fs64.params_control.actuator_number))
-    fs32 = build("dense_lu", "f32")
-    fs32.initialize_time_stepping()
-    for _ in range(10):
-        y32 = fs32.step(u_ctrl=np.zeros(fs32.params_control.actuator_number))
-    dy = np.abs(np.asarray(y32) - np.asarray(y64)) / np.abs(np.asarray(y64))
-    dx = np.linalg.norm(fs32.fields.up_ - fs64.fields.up_) / np.linalg.norm(
-        fs64.fields.up_
-    )
-    print(f"# 10-step parity vs host_lu/f64: y rel {dy.max():.2e}, "
-          f"field rel {dx:.2e}", flush=True)
+    if y32 is not None:
+        dy = np.abs(y32 - np.asarray(y64)) / np.abs(np.asarray(y64))
+        dx = np.linalg.norm(up32 - fs64.fields.up_) / np.linalg.norm(
+            fs64.fields.up_
+        )
+        print(f"# 10-step parity vs host_lu/f64: y rel {dy.max():.2e}, "
+              f"field rel {dx:.2e}", flush=True)
 
     # same-host CPU baseline: splu factor (one-time) + per-step backsolve
     import scipy.sparse.linalg as spla
