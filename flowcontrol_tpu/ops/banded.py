@@ -7,15 +7,23 @@ bottleneck). Reordered by reverse Cuthill-McKee the operator's bandwidth
 drops to O(sqrt(n)), so each 128-row block only ever reads a short static
 column window: the apply becomes
 
-    1-D permute -> pad -> per-block static window rows -> one batched
-    (nb,128,W)x(nb,W) einsum -> inverse permute
+    1-D permute -> pad -> per-block static window rows -> batched
+    (nbc,128,Wc)x(nbc,Wc) einsums -> inverse permute
 
-with zero data-dependent gathers except the two 1-D permutes (measured
-1.8 ms vs 5.0 ms for the gather-table apply on the stock O1 mass matrix;
-batched applies amortize both the permutes and the tile reads).
+with zero data-dependent gathers except the 1-D permutes (measured 1.8 ms
+vs 5.0 ms for the gather-table apply on the stock O1 mass matrix; batched
+applies amortize both the permutes and the tile reads).
+
+Row blocks are BUCKETED BY WINDOW WIDTH (128-rounded, classes chosen by a
+penalty-DP like the multifrontal stage repack): RCM window widths spread
+~2-5x across blocks (stock O1 mass: p50 = 1096, max = 1592), so padding
+every block to the global max streams ~1.5x more zero bytes than
+per-class padding. Each class is one einsum; the block reorder folds into
+the output index map, and all-zero row blocks (pressure rows of the
+velocity mass) read a single appended zero slot instead of tiles.
 
 The tiles are dense zero-padded windows (density ~1% — deliberately trading
-HBM bytes for the TPU's streaming-read speed; ~350 MB at 56k dofs). Builds
+HBM bytes for the TPU's streaming-read speed; ~250 MB at 56k dofs). Builds
 that would exceed ``max_bytes`` return None so callers fall back to the
 gather apply.
 
@@ -44,6 +52,49 @@ _R = 128  # row-block height = TPU lane width
 _PREC = jax.lax.Precision.HIGH
 
 
+def _width_classes(wr: np.ndarray, itemsize: int,
+                   lam_bytes: float = 8 * 2**20):
+    """Partition the (descending-sorted unique) block widths into classes.
+
+    DP minimizing  padded_tile_bytes + lam_bytes * n_classes  over
+    contiguous groups of the width-sorted blocks — the same objective as
+    the multifrontal stage repack (solvers/multifrontal.py:_repack_dp).
+    Returns a list of (class_width, block_indices) with blocks sorted by
+    width descending inside the original block numbering.
+    """
+    nz = np.flatnonzero(wr > 0)
+    if len(nz) == 0:
+        return []
+    order = nz[np.argsort(-wr[nz], kind="stable")]
+    w_sorted = wr[order]
+    m = len(order)
+    # candidate boundaries = positions where the width changes
+    starts = [0] + [i for i in range(1, m) if w_sorted[i] != w_sorted[i - 1]]
+    starts.append(m)
+    k = len(starts) - 1  # number of width runs
+    best = np.full(k + 1, np.inf)
+    best[0] = 0.0
+    choice = np.zeros(k + 1, dtype=np.int64)
+    for j in range(1, k + 1):
+        for i in range(j):
+            # group covers runs [i, j): width = width of run i (largest)
+            nblocks = starts[j] - starts[i]
+            cost = nblocks * _R * int(w_sorted[starts[i]]) * itemsize
+            tot = best[i] + cost + lam_bytes
+            if tot < best[j]:
+                best[j] = tot
+                choice[j] = i
+    # backtrack
+    bounds = []
+    j = k
+    while j > 0:
+        i = int(choice[j])
+        bounds.append((starts[i], starts[j]))
+        j = i
+    bounds.reverse()
+    return [(int(w_sorted[a]), order[a:b]) for a, b in bounds]
+
+
 def build_banded(mat, dtype=np.float32, max_bytes: int = 6_000_000_000):
     """Host-side build: CSR -> (device tree, static meta) or None if too big.
 
@@ -61,7 +112,6 @@ def build_banded(mat, dtype=np.float32, max_bytes: int = 6_000_000_000):
     iperm[perm] = np.arange(n)
 
     nb = (n + _R - 1) // _R
-    npad = nb * _R
     indptr, indices = mp.indptr, mp.indices
     lo = np.zeros(nb, dtype=np.int64)
     width = np.zeros(nb, dtype=np.int64)
@@ -71,12 +121,17 @@ def build_banded(mat, dtype=np.float32, max_bytes: int = 6_000_000_000):
         if len(cols):
             lo[b] = cols.min()
             width[b] = cols.max() + 1 - lo[b]
-    # 128-align each window start; W2 covers the worst (offset + width)
+    # 128-align each window start; per-block effective width then rounds
+    # up to the 128 grid and blocks bucket into width classes
     lo_a = (lo // _R) * _R
-    w_max = int((lo - lo_a + width).max()) if nb else 1
-    w2 = ((w_max + _R - 1) // _R) * _R
-    tile_bytes = nb * _R * w2 * np.dtype(dtype).itemsize
+    eff = lo - lo_a + width
+    wr = (((eff + _R - 1) // _R) * _R).astype(np.int64)
+    wr[width == 0] = 0
+    itemsize = np.dtype(dtype).itemsize
+    classes = _width_classes(wr, itemsize)
+    tile_bytes = sum(len(blk) * _R * w * itemsize for w, blk in classes)
     if tile_bytes > max_bytes:
+        w2 = int(wr.max(initial=0))
         logger.info(
             "banded build skipped: tiles %.1f GB > cap %.1f GB (n=%d, W=%d)",
             tile_bytes / 1e9, max_bytes / 1e9, n, w2,
@@ -86,48 +141,87 @@ def build_banded(mat, dtype=np.float32, max_bytes: int = 6_000_000_000):
     # Fill the tiles ON DEVICE from COO triplets: the tiles are ~99% zeros,
     # so materializing them host-side and shipping them through the (slow,
     # serialized) device transport would dominate setup — the triplets are
-    # ~40x smaller. One one-time scatter builds the dense windows in HBM.
+    # ~40x smaller. One one-time scatter per class builds the windows in HBM.
     coo = mp.tocoo()
     rows, cols, vals = coo.row, coo.col, coo.data
     bi = rows // _R
-    ri = rows - bi * _R
-    ci = cols - lo_a[bi]
-    wb = w2 // _R
-    win = (lo_a // _R)[:, None] + np.arange(wb)[None, :]  # (nb, wb) row idx
-    logger.info(
-        "banded operator: n=%d nnz=%d bandwidth=%d W=%d tiles=%.0f MB",
-        n, mp.nnz, w_max, w2, tile_bytes / 1e6,
-    )
-    idx = jnp.asarray(np.stack([bi, ri, ci], axis=1), dtype=jnp.int32)
 
-    @jax.jit
-    def fill(idx, vals):
-        return jnp.zeros((nb, _R, w2), dtype=dtype).at[
-            idx[:, 0], idx[:, 1], idx[:, 2]
-        ].set(vals)
+    w_max = int(wr.max(initial=0))
+    logger.info(
+        "banded operator: n=%d nnz=%d W_max=%d classes=%s tiles=%.0f MB",
+        n, mp.nnz, w_max,
+        [(w, len(blk)) for w, blk in classes], tile_bytes / 1e6,
+    )
+
+    # output layout: class tiles concatenated block-major, one trailing
+    # zero row-slot for the all-zero blocks (and the n..npad tail)
+    out_idx = np.full(n, -1, dtype=np.int64)
+    row_off = 0
+    cls_dev = []
+    for w, blk in classes:
+        wb = w // _R
+        pos_of_block = np.full(nb, -1, dtype=np.int64)
+        pos_of_block[blk] = np.arange(len(blk))
+        sel = pos_of_block[bi] >= 0
+        cbi = pos_of_block[bi[sel]]
+        cri = rows[sel] - bi[sel] * _R
+        cci = cols[sel] - lo_a[bi[sel]]
+        win = (lo_a[blk] // _R)[:, None] + np.arange(wb)[None, :]
+        idx = jnp.asarray(np.stack([cbi, cri, cci], axis=1), dtype=jnp.int32)
+        nbc = len(blk)
+
+        fill = jax.jit(
+            lambda idx, vals, _nbc=nbc, _w=w: jnp.zeros(
+                (_nbc, _R, _w), dtype=dtype
+            ).at[idx[:, 0], idx[:, 1], idx[:, 2]].set(vals)
+        )
+        cls_dev.append({
+            "tiles": fill(idx, jnp.asarray(vals[sel], dtype=dtype)),
+            "win": jnp.asarray(win, dtype=jnp.int32),
+        })
+        # rows of these blocks land at [row_off, row_off + nbc*_R)
+        for j, b in enumerate(blk):
+            r0, r1 = b * _R, min((b + 1) * _R, n)
+            out_idx[r0:r1] = row_off + j * _R + np.arange(r1 - r0)
+        row_off += nbc * _R
+    # all-zero blocks (and any unassigned rows) read the appended zero slot
+    out_idx[out_idx < 0] = row_off
+
+    # map original dof i -> position in the concat layout of RCM row iperm[i]
+    final_idx = out_idx[iperm]
 
     tree = {
-        "tiles": fill(idx, jnp.asarray(vals, dtype=dtype)),
-        "win": jnp.asarray(win, dtype=jnp.int32),
+        "classes": tuple(cls_dev),
         "perm": jnp.asarray(perm, dtype=jnp.int32),
-        "iperm": jnp.asarray(iperm, dtype=jnp.int32),
+        "out_idx": jnp.asarray(final_idx, dtype=jnp.int32),
     }
     return tree
 
 
 def banded_matvec(tree, x):
-    """y = A x through the banded tiles. Supports leading batch dims."""
-    tiles = tree["tiles"]
-    nb, r, w2 = tiles.shape
+    """y = A x through the banded width-class tiles. Supports leading
+    batch dims."""
     n = tree["perm"].shape[0]
     batch = x.shape[:-1]
-    xp = jnp.take(x, tree["perm"], axis=-1)
-    pad = nb * r - n + w2  # window rows may run past the last block
-    xpad = jnp.concatenate(
-        [xp, jnp.zeros(batch + (pad,), dtype=x.dtype)], axis=-1
+    # static pad for the window reshape: windows may run past block nb-1
+    # (all quantities here come from static shapes, never traced values)
+    nb = (n + _R - 1) // _R
+    w_max = max(
+        (cls["tiles"].shape[2] for cls in tree["classes"]), default=_R
     )
-    xw = xpad.reshape(batch + (nb + w2 // r, r))
-    xwin = jnp.take(xw, tree["win"], axis=-2).reshape(batch + (nb, w2))
-    yp = jnp.einsum("brw,...bw->...br", tiles, xwin, precision=_PREC)
-    yp = yp.reshape(batch + (nb * r,))[..., :n]
-    return jnp.take(yp, tree["iperm"], axis=-1)
+    n_pad = nb * _R - n + w_max
+    xp = jnp.take(x, tree["perm"], axis=-1)
+    xpad = jnp.concatenate(
+        [xp, jnp.zeros(batch + (n_pad,), dtype=x.dtype)], axis=-1
+    )
+    xw = xpad.reshape(batch + (-1, _R))
+    outs = []
+    for cls in tree["classes"]:
+        tiles, win = cls["tiles"], cls["win"]
+        nbc, _, w = tiles.shape
+        xwin = jnp.take(xw, win, axis=-2).reshape(batch + (nbc, w))
+        yp = jnp.einsum("brw,...bw->...br", tiles, xwin, precision=_PREC)
+        outs.append(yp.reshape(batch + (nbc * _R,)))
+    outs.append(jnp.zeros(batch + (1,), dtype=x.dtype))  # zero-block slot
+    ycat = jnp.concatenate(outs, axis=-1)
+    return jnp.take(ycat, tree["out_idx"], axis=-1)

@@ -31,7 +31,8 @@ def probe(name, fn):
         print(f"PASS  {name}: {np.asarray(out).ravel()[:4]}")
         return True
     except Exception as e:  # noqa: BLE001 — report any compile/runtime failure
-        msg = str(e).splitlines()[0][:160]
+        lines = str(e).splitlines()
+        msg = lines[0][:160] if lines else repr(e)[:160]
         print(f"FAIL  {name}: {type(e).__name__}: {msg}")
         return False
 
