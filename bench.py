@@ -137,7 +137,7 @@ def bench_tpu(fs) -> dict:
 
     batched = None
     try:
-        up_b = np.asarray(carry.u_n)[None, :].repeat(BENCH_BATCH, 0)
+        up_b = np.asarray(st.from_hot(carry.u_n))[None, :].repeat(BENCH_BATCH, 0)
         carry_b = st.init_carry(jnp.asarray(up_b, dtype=st.dtype))
         useq_b = np.zeros((BENCH_BATCH_STEPS, BENCH_BATCH, 2), dtype=st.dtype)
         _, outs_b = roll(carry_b, useq_b)
@@ -178,7 +178,7 @@ def bench_tpu(fs) -> dict:
             gains[:, None, None] * (dup @ cd),
             gains[:, None, None] * (dup @ dd @ sel),
         )
-        up_b = np.asarray(carry.u_n)[None, :].repeat(B_CL, 0)
+        up_b = np.asarray(st.from_hot(carry.u_n))[None, :].repeat(B_CL, 0)
         carry_b = st.init_carry(jnp.asarray(up_b, dtype=st.dtype))
         y0 = np.zeros((B_CL, st.ns), dtype=st.dtype)
         roll_cl = st.make_rollout_closed_loop(BENCH_BATCH_STEPS)
@@ -255,7 +255,7 @@ def bench_cavity(platform: str) -> dict | None:
     try:
         import jax.numpy as jnp
 
-        up_b = np.asarray(fs._carry.u_n)[None, :].repeat(batch, 0)
+        up_b = np.asarray(fs._stepper.from_hot(fs._carry.u_n))[None, :].repeat(batch, 0)
         carry_b = st.init_carry(jnp.asarray(up_b, dtype=st.dtype))
         useq_b = np.zeros((steps, batch, st.n_act), dtype=st.dtype)
         _, outs_b = roll(carry_b, useq_b)

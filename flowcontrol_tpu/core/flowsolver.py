@@ -658,7 +658,9 @@ class FlowSolver(ABC):
                 return None
             raise RuntimeError("Failed solving: Inf found in solution")
 
-        x = np.asarray(out.x, dtype=float)
+        # hot_order keeps the device state in the stepper's bandwidth-
+        # minimizing layout; convert to mesh order at this boundary
+        x = np.asarray(self._stepper.from_hot(out.x), dtype=float)
         self.iter += 1
         self.t = self.params_time.Tstart + self.iter * self.params_time.dt
         if self.params_solver.time_scheme != "cn":

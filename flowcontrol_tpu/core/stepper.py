@@ -24,6 +24,7 @@ sets.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Callable, NamedTuple
@@ -154,6 +155,21 @@ class Stepper:
     #: 'onehot' = on-the-fly one-hot matmul picks, 'take' = in-window
     #: dynamic picks, False/None-auto-off = gather-table path.
     windowed_nl: str | bool | None = None
+    #: keep the WHOLE hot loop in one bandwidth-minimizing dof order
+    #: ("hot order": [u-dofs, v-dofs] in the cell-sharing-graph RCM node
+    #: order, pressure unchanged) so the banded mass apply and the
+    #: windowed N(u) run with ZERO element permutes — each 1-D permute
+    #: gather costs ~0.4 ms at 56k dofs on v5e, as much as the banded
+    #: tile einsum itself. The multifrontal solve's existing boundary
+    #: takes absorb the renumbering for free (host-side compose); sensor
+    #: rows, lift vectors and BC indices are remapped at build. The carry
+    #: and StepOutput.x are IN HOT ORDER — convert with
+    #: :meth:`from_hot`/:meth:`to_hot` at external boundaries (FlowSolver
+    #: does this when it stores fields). None = auto: on when every
+    #: solver kind is multifrontal/borrowed and the banded+windowed
+    #: regime is active; incompatible with parallel.sharding.shard_stepper
+    #: (pass hot_order=False there).
+    hot_order: bool | None = None
     #: run single-RHS multifrontal solves as an N-wide broadcast panel and
     #: take lane 0: (1, n)-shaped vector ops waste 7/8 of the sublane dim,
     #: and XLA picks matmul-shaped lowerings for the panel. The sweep
@@ -526,11 +542,112 @@ class Stepper:
                 dev["solvers"].append(())
                 self._solver_kinds.append("host")
 
-        # gather-table assembly maps (scatter transposed into padded gathers)
-        dev["gt_mixed"] = jnp.asarray(build_gather_table(space.cell_dofs, n))
-        dev["gt_vel"] = jnp.asarray(
-            build_gather_table(velocity_cell_dofs(space), n)
+        # resolve the operator-apply knobs up front: they gate the hot order
+        if self.dense_operators is None:
+            self.dense_operators = self.backend == "dense_lu" and n <= 20_000
+        if self.banded_operators is None:
+            self.banded_operators = (
+                not self.dense_operators
+                and n > 20_000
+                and jax.default_backend() != "cpu"
+            )
+        if self.windowed_nl is None:
+            # auto-on in the banded regime: the on-chip A/B
+            # (tools/nl_variant_ab.py, v5e, stock O1, in-loop scan
+            # protocol) measured the windowed one-hot N(u) at 1.01 ms vs
+            # 1.96 ms for the scatter-add pass at identical accuracy
+            # (3.1e-5 vs host f64, the f32 floor, with the HIGH-precision
+            # einsums pinned in ops/cellwindows.py)
+            self.windowed_nl = "onehot" if self.banded_operators else False
+
+        # hot dof order (see the hot_order field docstring): exact — a pure
+        # renumbering, composed into every build-time table/vector
+        self._hot_src = None
+        self._hot_pos = None
+        self._node_perm = None
+        hot_compatible = (
+            self.backend == "dense_lu"
+            and self.banded_operators
+            and not self.dense_operators
+            and not dev["a_dense"]
+            and (bool(self.windowed_nl) or not forms.is_nonlinear)
+            and all(k in ("multifrontal", "borrowed")
+                    for k in self._solver_kinds)
         )
+        hot = self.hot_order
+        if hot is None:
+            hot = hot_compatible
+        elif hot and not hot_compatible:
+            raise ValueError(
+                "hot_order=True needs backend='dense_lu' with only "
+                "multifrontal/borrowed solves, banded_operators on, and "
+                "windowed_nl on (or a linear problem) — got kinds="
+                f"{self._solver_kinds}, banded={self.banded_operators}, "
+                f"windowed_nl={self.windowed_nl}"
+            )
+        nl_built_hot = None
+        if hot:
+            from flowcontrol_tpu.ops.cellwindows import (
+                build_cell_windows,
+                node_rcm,
+            )
+
+            nv = space.n_vnodes
+            nperm = node_rcm(space.cell_vel_nodes, nv)
+            if forms.is_nonlinear and self.windowed_nl:
+                nl_built_hot = build_cell_windows(
+                    space.cell_vel_nodes, nv,
+                    {"wq": forms.geom.wq, "dphi2": forms.geom.dphi2,
+                     "phi2": forms.geom.phi2},
+                    dtype=dt, node_order=nperm, split_layout=True,
+                )
+                if nl_built_hot is None:
+                    # window-width cap: the gather N(u) needs mesh order
+                    hot = False
+        if hot:
+            hot_src = np.concatenate(
+                [2 * nperm, 2 * nperm + 1, np.arange(2 * nv, n)]
+            )
+            hot_pos = np.empty(n, dtype=np.int64)
+            hot_pos[hot_src] = np.arange(n)
+            self._hot_src, self._hot_pos = hot_src, hot_pos
+            self._node_perm = nperm
+            # compose the renumbering into the multifrontal boundary maps
+            # (free: the solve's existing boundary takes absorb it)
+            for oi, kind in enumerate(self._solver_kinds):
+                if kind != "multifrontal":
+                    continue
+                tree = dev["solvers"][oi]
+                mperm = np.asarray(tree["perm"])
+                tree["perm"] = jnp.asarray(np.where(
+                    mperm < n, hot_pos[np.minimum(mperm, n - 1)], n
+                ))
+                tree["ipos"] = jnp.asarray(np.asarray(tree["ipos"])[hot_src])
+            # dof-space vectors -> hot order (one-time, at build)
+            dev["lift_act"] = [
+                jnp.asarray(np.asarray(v)[..., hot_src], dtype=dt)
+                for v in dev["lift_act"]
+            ]
+            dev["lift_static"] = [
+                jnp.asarray(np.asarray(v)[..., hot_src], dtype=dt)
+                for v in dev["lift_static"]
+            ]
+            logging.getLogger(__name__).info(
+                "hot dof order on: split-component node-RCM layout "
+                "(n_vnodes=%d) — zero-permute banded/windowed applies", nv
+            )
+
+        cell_dofs_x = (
+            space.cell_dofs if self._hot_src is None
+            else self._hot_pos[space.cell_dofs]
+        )
+        vel_dofs_x = (
+            velocity_cell_dofs(space) if self._hot_src is None
+            else self._hot_pos[velocity_cell_dofs(space)]
+        )
+        # gather-table assembly maps (scatter transposed into padded gathers)
+        dev["gt_mixed"] = jnp.asarray(build_gather_table(cell_dofs_x, n))
+        dev["gt_vel"] = jnp.asarray(build_gather_table(vel_dofs_x, n))
         dev["geom"] = geometry_device_tables(forms.geom, dtype=dt)
         dev["m_e"] = jnp.asarray(forms.mass_elements(), dtype=dt)
         if self.scheme == "cn":
@@ -541,8 +658,6 @@ class Stepper:
             dev["lvel_e"] = None
         # dense-matmul operator application: on gather-hostile accelerators a
         # dense n×n matmul at HBM speed beats the indexed element apply
-        if self.dense_operators is None:
-            self.dense_operators = self.backend == "dense_lu" and n <= 20_000
         dev["m_dense"] = None
         dev["lvel_dense"] = None
         if self.dense_operators:
@@ -566,64 +681,68 @@ class Stepper:
         # dense-matmul range (see ops/banded.py)
         dev["m_banded"] = None
         dev["lvel_banded"] = None
-        if self.banded_operators is None:
-            self.banded_operators = (
-                not self.dense_operators
-                and n > 20_000
-                and jax.default_backend() != "cpu"
-            )
         if self.banded_operators:
             from flowcontrol_tpu.ops.banded import build_banded
 
+            hs = self._hot_src
+
+            def _hot_csr(csr):
+                # hot order is already bandwidth-minimizing: build with
+                # contiguous width classes and zero-permute boundaries
+                return csr[hs][:, hs].tocsr() if hs is not None else csr
+
             dev["m_banded"] = build_banded(
-                to_scipy_csr(forms.mass_elements(), space.cell_dofs, n),
-                dtype=dt,
+                _hot_csr(to_scipy_csr(forms.mass_elements(), space.cell_dofs, n).tocsr()),
+                dtype=dt, ordered=hs is not None,
             )
             if dev["lvel_e"] is not None:
                 dev["lvel_banded"] = build_banded(
-                    to_scipy_csr(
+                    _hot_csr(to_scipy_csr(
                         forms.velocity_operator_elements(
                             u0, include_shift=False
                         ),
                         space.cell_dofs, n,
-                    ),
-                    dtype=dt,
+                    ).tocsr()),
+                    dtype=dt, ordered=hs is not None,
                 )
         # window-blocked N(u): zero global gathers in the one u-dependent
         # element pass of the step (ops/cellwindows.py)
         dev["nl_win"] = None
-        if self.windowed_nl is None:
-            # auto-on in the banded regime: the on-chip A/B
-            # (tools/nl_variant_ab.py, v5e, stock O1, in-loop scan
-            # protocol) measured the windowed one-hot N(u) at 1.01 ms vs
-            # 1.96 ms for the scatter-add pass at identical accuracy
-            # (3.1e-5 vs host f64, the f32 floor, with the HIGH-precision
-            # einsums pinned in ops/cellwindows.py)
-            self.windowed_nl = "onehot" if self.banded_operators else False
         self._nl_win_static = None
         if self.windowed_nl:
-            from flowcontrol_tpu.ops.cellwindows import build_cell_windows
+            built = nl_built_hot
+            if built is None and self._hot_src is None:
+                from flowcontrol_tpu.ops.cellwindows import build_cell_windows
 
-            built = build_cell_windows(
-                space.cell_vel_nodes, space.n_vnodes,
-                {
-                    "wq": forms.geom.wq,
-                    "dphi2": forms.geom.dphi2,
-                    "phi2": forms.geom.phi2,
-                },
-                dtype=dt,
-            )
+                built = build_cell_windows(
+                    space.cell_vel_nodes, space.n_vnodes,
+                    {
+                        "wq": forms.geom.wq,
+                        "dphi2": forms.geom.dphi2,
+                        "phi2": forms.geom.phi2,
+                    },
+                    dtype=dt,
+                )
             if built is not None:
                 dev["nl_win"], self._nl_win_static = built
                 if isinstance(self.windowed_nl, str):
                     self._nl_win_static["variant"] = self.windowed_nl
-        dev["c"] = jnp.asarray(self.c_rows, dtype=dt)
-        dev["f_cols"] = jnp.asarray(self.force_cols, dtype=dt)
+        if self._hot_src is not None:
+            dev["c"] = jnp.asarray(
+                np.asarray(self.c_rows)[:, self._hot_src], dtype=dt
+            )
+            dev["f_cols"] = jnp.asarray(
+                np.asarray(self.force_cols)[:, self._hot_src], dtype=dt
+            )
+            self._bc_dofs = self._hot_pos[np.asarray(bcs.dofs)]
+        else:
+            dev["c"] = jnp.asarray(self.c_rows, dtype=dt)
+            dev["f_cols"] = jnp.asarray(self.force_cols, dtype=dt)
+            self._bc_dofs = np.asarray(bcs.dofs)  # static (baked into jit)
         dev["bc_values"] = jnp.asarray(bcs.values, dtype=dt)
         dev["bc_profiles"] = jnp.asarray(profiles, dtype=dt)
         self._dev = dev
-        self._bc_dofs = np.asarray(bcs.dofs)  # static (indices baked into jit)
-        self._cell_dofs = np.asarray(space.cell_dofs)
+        self._cell_dofs = np.asarray(cell_dofs_x)
         self._coeffs = {o: forms.rhs_coefficients(o) for o in orders}
         self._is_nonlinear = forms.is_nonlinear
         self._scan_step = None
@@ -939,9 +1058,27 @@ class Stepper:
 
     # ── Public API ───────────────────────────────────────────────────────────
 
+    def to_hot(self, v):
+        """Mesh-order dof vector(s) -> the stepper's hot order (identity
+        when hot_order is off). Leading batch dims pass through."""
+        if self._hot_src is None:
+            return v
+        return np.asarray(v)[..., self._hot_src]
+
+    def from_hot(self, v):
+        """Hot-order dof vector(s) (carry fields, StepOutput.x) -> mesh
+        order (identity when hot_order is off)."""
+        if self._hot_pos is None:
+            return v
+        return np.asarray(v)[..., self._hot_pos]
+
     def init_carry(self, up0: np.ndarray, up_prev: np.ndarray | None = None) -> StepCarry:
-        """Carry from an initial mixed state (and optional previous state for
-        BDF2 restarts — ref: flowsolver.py:599-663)."""
+        """Carry from an initial mixed state in MESH order (and optional
+        previous state for BDF2 restarts — ref: flowsolver.py:599-663).
+        Under hot_order the carry lives in hot order (see from_hot)."""
+        up0 = self.to_hot(up0)
+        if up_prev is not None:
+            up_prev = self.to_hot(up_prev)
         u0 = jnp.asarray(up0, dtype=self.dtype)
         um1 = u0 if up_prev is None else jnp.asarray(up_prev, dtype=self.dtype)
         nprev = self._nl(self._dev, um1)

@@ -52,6 +52,44 @@ _R = 128  # row-block height = TPU lane width
 _PREC = jax.lax.Precision.HIGH
 
 
+def _width_runs(wr: np.ndarray, itemsize: int,
+                lam_bytes: float = 8 * 2**20):
+    """Contiguous-run variant of :func:`_width_classes` for pre-ordered
+    layouts: blocks keep their order (so the class concat IS the output
+    layout — no output index map) and classes are contiguous runs chosen
+    by the same padded_bytes + lam * n_classes DP. RCM widths vary
+    smoothly along the band, so contiguous runs give up ~10% vs sorted
+    classes (measured: stock O1 mass 280 vs 255 MB).
+    Returns [(class_width, start_block, end_block)] covering all blocks
+    in order (width 0 => all-zero run)."""
+    nb = len(wr)
+    if nb == 0:
+        return []
+    INF = float("inf")
+    best = np.full(nb + 1, INF)
+    best[0] = 0.0
+    choice = np.zeros(nb + 1, dtype=np.int64)
+    # run length bounded at 512 blocks: keeps the DP O(nb*512); a forced
+    # split of a longer uniform run costs only one extra einsum dispatch
+    for j in range(1, nb + 1):
+        wmax = 0
+        for i in range(j - 1, max(j - 513, -1), -1):
+            if wr[i] > wmax:
+                wmax = int(wr[i])
+            c = best[i] + (j - i) * _R * wmax * itemsize + lam_bytes
+            if c < best[j]:
+                best[j] = c
+                choice[j] = i
+    runs = []
+    j = nb
+    while j > 0:
+        i = int(choice[j])
+        runs.append((int(wr[i:j].max(initial=0)), i, j))
+        j = i
+    runs.reverse()
+    return runs
+
+
 def _width_classes(wr: np.ndarray, itemsize: int,
                    lam_bytes: float = 8 * 2**20):
     """Partition the (descending-sorted unique) block widths into classes.
@@ -95,21 +133,32 @@ def _width_classes(wr: np.ndarray, itemsize: int,
     return [(int(w_sorted[a]), order[a:b]) for a, b in bounds]
 
 
-def build_banded(mat, dtype=np.float32, max_bytes: int = 6_000_000_000):
+def build_banded(mat, dtype=np.float32, max_bytes: int = 6_000_000_000,
+                 ordered: bool = False):
     """Host-side build: CSR -> (device tree, static meta) or None if too big.
 
     The returned ``tree`` is a dict of device arrays (a pytree safe to put in
     a jitted closure/argument); apply with :func:`banded_matvec`.
+
+    ``ordered=True`` = the caller's dof layout is ALREADY bandwidth-
+    minimizing (the stepper's hot order, core/stepper.py): skip the RCM,
+    keep blocks in place with contiguous-run width classes, and emit a
+    tree whose apply has ZERO element permutes (in/out are identity) —
+    the 1-D permute gathers cost ~0.4 ms each at 56k dofs on v5e, more
+    than the tile einsum itself.
     """
     m = sp.csr_matrix(mat)
     n = m.shape[0]
     if m.shape[0] != m.shape[1]:
         raise ValueError("banded apply needs a square operator")
     m.eliminate_zeros()
-    perm = np.asarray(reverse_cuthill_mckee(m, symmetric_mode=False))
-    mp = m[perm][:, perm].tocsr()
-    iperm = np.empty(n, dtype=np.int64)
-    iperm[perm] = np.arange(n)
+    if ordered:
+        mp = m.tocsr()
+    else:
+        perm = np.asarray(reverse_cuthill_mckee(m, symmetric_mode=False))
+        mp = m[perm][:, perm].tocsr()
+        iperm = np.empty(n, dtype=np.int64)
+        iperm[perm] = np.arange(n)
 
     nb = (n + _R - 1) // _R
     indptr, indices = mp.indptr, mp.indices
@@ -128,7 +177,12 @@ def build_banded(mat, dtype=np.float32, max_bytes: int = 6_000_000_000):
     wr = (((eff + _R - 1) // _R) * _R).astype(np.int64)
     wr[width == 0] = 0
     itemsize = np.dtype(dtype).itemsize
-    classes = _width_classes(wr, itemsize)
+    if ordered:
+        classes = [
+            (w, np.arange(a, b)) for w, a, b in _width_runs(wr, itemsize)
+        ]
+    else:
+        classes = _width_classes(wr, itemsize)
     tile_bytes = sum(len(blk) * _R * w * itemsize for w, blk in classes)
     if tile_bytes > max_bytes:
         w2 = int(wr.max(initial=0))
@@ -154,7 +208,11 @@ def build_banded(mat, dtype=np.float32, max_bytes: int = 6_000_000_000):
     )
 
     # output layout: class tiles concatenated block-major, one trailing
-    # zero row-slot for the all-zero blocks (and the n..npad tail)
+    # zero row-slot for the all-zero blocks (and the n..npad tail).
+    # (ordered mode: classes are contiguous runs in block order, so the
+    # concat IS the layout — out_idx/perm are omitted from the tree and
+    # the apply has no element permutes. Zero-width runs flow through the
+    # same path with w=0: the empty-axis einsum yields exact zeros.)
     out_idx = np.full(n, -1, dtype=np.int64)
     row_off = 0
     cls_dev = []
@@ -184,6 +242,8 @@ def build_banded(mat, dtype=np.float32, max_bytes: int = 6_000_000_000):
             r0, r1 = b * _R, min((b + 1) * _R, n)
             out_idx[r0:r1] = row_off + j * _R + np.arange(r1 - r0)
         row_off += nbc * _R
+    if ordered:
+        return {"classes": tuple(cls_dev)}
     # all-zero blocks (and any unassigned rows) read the appended zero slot
     out_idx[out_idx < 0] = row_off
 
@@ -200,8 +260,10 @@ def build_banded(mat, dtype=np.float32, max_bytes: int = 6_000_000_000):
 
 def banded_matvec(tree, x):
     """y = A x through the banded width-class tiles. Supports leading
-    batch dims."""
-    n = tree["perm"].shape[0]
+    batch dims. Trees from ``build_banded(ordered=True)`` carry no
+    perm/out_idx — input and output are identity (zero element permutes)."""
+    ordered = "perm" not in tree
+    n = x.shape[-1]
     batch = x.shape[:-1]
     # static pad for the window reshape: windows may run past block nb-1
     # (all quantities here come from static shapes, never traced values)
@@ -209,8 +271,8 @@ def banded_matvec(tree, x):
     w_max = max(
         (cls["tiles"].shape[2] for cls in tree["classes"]), default=_R
     )
-    n_pad = nb * _R - n + w_max
-    xp = jnp.take(x, tree["perm"], axis=-1)
+    n_pad = nb * _R - n + max(w_max, _R)
+    xp = x if ordered else jnp.take(x, tree["perm"], axis=-1)
     xpad = jnp.concatenate(
         [xp, jnp.zeros(batch + (n_pad,), dtype=x.dtype)], axis=-1
     )
@@ -219,9 +281,14 @@ def banded_matvec(tree, x):
     for cls in tree["classes"]:
         tiles, win = cls["tiles"], cls["win"]
         nbc, _, w = tiles.shape
+        if w == 0:  # all-zero contiguous run (e.g. pressure rows)
+            outs.append(jnp.zeros(batch + (nbc * _R,), dtype=x.dtype))
+            continue
         xwin = jnp.take(xw, win, axis=-2).reshape(batch + (nbc, w))
         yp = jnp.einsum("brw,...bw->...br", tiles, xwin, precision=_PREC)
         outs.append(yp.reshape(batch + (nbc * _R,)))
+    if ordered:
+        return jnp.concatenate(outs, axis=-1)[..., :n]
     outs.append(jnp.zeros(batch + (1,), dtype=x.dtype))  # zero-block slot
     ycat = jnp.concatenate(outs, axis=-1)
     return jnp.take(ycat, tree["out_idx"], axis=-1)

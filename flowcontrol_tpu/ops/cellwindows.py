@@ -53,30 +53,50 @@ _RN = 128  # node-window row granularity
 _PREC = lax.Precision.HIGH
 
 
-def build_cell_windows(cell_vel_nodes: np.ndarray, n_vnodes: int,
-                       geom_tables: dict, dtype=np.float32,
-                       max_width: int = 8192):
-    """Host-side build: (nc, 6) node ids -> window-blocked static meta.
-
-    ``geom_tables``: the per-cell quadrature arrays (wq (nc, q),
-    dphi2 (nc, q, 6, 2)) plus the shared phi2 (q, 6); they are re-ordered
-    to the window cell order here (padded cells get wq=0, so their
-    contributions vanish identically — no masking needed downstream).
-    """
+def node_rcm(cell_vel_nodes: np.ndarray, n_vnodes: int) -> np.ndarray:
+    """RCM over the node cell-sharing graph: nodes of one cell land within
+    O(bandwidth) of each other regardless of the mesh file's numbering.
+    Returns the permutation (new position -> old node id). Also the basis
+    of the stepper's hot dof order (core/stepper.py)."""
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
     cvn_raw = np.asarray(cell_vel_nodes)
-    nc, n_loc = cvn_raw.shape
-    # RCM over the node cell-sharing graph: nodes of one cell land within
-    # O(bandwidth) of each other regardless of the mesh file's numbering
+    n_loc = cvn_raw.shape[1]
     rows = np.repeat(cvn_raw, n_loc, axis=1).reshape(-1)
     cols = np.tile(cvn_raw, (1, n_loc)).reshape(-1)
     adj = sp.coo_matrix(
         (np.ones(len(rows), dtype=np.int8), (rows, cols)),
         shape=(n_vnodes, n_vnodes),
     ).tocsr()
-    perm = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True))
+    return np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True))
+
+
+def build_cell_windows(cell_vel_nodes: np.ndarray, n_vnodes: int,
+                       geom_tables: dict, dtype=np.float32,
+                       max_width: int = 8192, node_order=None,
+                       split_layout: bool = False):
+    """Host-side build: (nc, 6) node ids -> window-blocked static meta.
+
+    ``geom_tables``: the per-cell quadrature arrays (wq (nc, q),
+    dphi2 (nc, q, 6, 2)) plus the shared phi2 (q, 6); they are re-ordered
+    to the window cell order here (padded cells get wq=0, so their
+    contributions vanish identically — no masking needed downstream).
+
+    ``node_order`` (optional): a precomputed node permutation (new
+    position -> old node) to use instead of the internal RCM.
+    ``split_layout=True`` = the caller's dof vector is in the stepper's
+    hot order ([all u-dofs, all v-dofs] in ``node_order``, pressure after
+    2*n_vnodes): the apply then reads/writes u_nodes by reshape/transpose
+    with ZERO element permutes (each 1-D permute costs ~0.4 ms at 56k
+    dofs on v5e — half the windowed-N(u) budget).
+    """
+    cvn_raw = np.asarray(cell_vel_nodes)
+    nc, n_loc = cvn_raw.shape
+    perm = (
+        np.asarray(node_order) if node_order is not None
+        else node_rcm(cvn_raw, n_vnodes)
+    )
     inew = np.empty(n_vnodes, dtype=np.int64)
     inew[perm] = np.arange(n_vnodes)
     cvn = inew[cvn_raw]  # cell nodes in RCM numbering
@@ -140,6 +160,9 @@ def build_cell_windows(cell_vel_nodes: np.ndarray, n_vnodes: int,
             "cell windows: one-hot mask %.2f GB > budget — chunking the "
             "block axis at %d blocks/group", oh_bytes / 2**30, chunk,
         )
+    if split_layout:
+        # identity boundaries: drop the per-apply node permutes
+        del tree["perm"], tree["iperm"]
     static = {
         "n_vnodes": n_vnodes,
         "n_loc": n_loc,
@@ -147,6 +170,7 @@ def build_cell_windows(cell_vel_nodes: np.ndarray, n_vnodes: int,
         "n_rows": n_rows,
         "variant": "onehot",
         "chunk": chunk,
+        "split": split_layout,
     }
     return tree, static
 
@@ -171,8 +195,17 @@ def nonlinear_convection_windowed(tree, static, u_mixed, n_dofs: int):
     nb = tree["win"].shape[0]
     batch = u_mixed.shape[:-1]
     dt = u_mixed.dtype
-    u_nodes = u_mixed[..., : 2 * n_vnodes].reshape(batch + (n_vnodes, 2))
-    u_nodes = jnp.take(u_nodes, tree["perm"], axis=-2)  # RCM node order
+    split = static.get("split", False)
+    if split:
+        # hot layout: [u-dofs, v-dofs] already in window node order — a
+        # reshape + axis swap, no gather
+        u_nodes = jnp.swapaxes(
+            u_mixed[..., : 2 * n_vnodes].reshape(batch + (2, n_vnodes)),
+            -2, -1,
+        )
+    else:
+        u_nodes = u_mixed[..., : 2 * n_vnodes].reshape(batch + (n_vnodes, 2))
+        u_nodes = jnp.take(u_nodes, tree["perm"], axis=-2)  # RCM node order
     uwin = _window_rows(tree, static, u_nodes)  # (..., nb, w, 2)
 
     def _blocks(rel_b, wq_b, dphi2_b, uwin_b):
@@ -260,8 +293,13 @@ def nonlinear_convection_windowed(tree, static, u_mixed, n_dofs: int):
         yw.reshape(batch + (nb, wb, _RN, 2))
     )
     y_nodes = yrows.reshape(batch + (n_rows * _RN, 2))[..., :n_vnodes, :]
-    y_nodes = jnp.take(y_nodes, tree["iperm"], axis=-2)  # back to mesh order
+    if not split:
+        y_nodes = jnp.take(y_nodes, tree["iperm"], axis=-2)  # to mesh order
     out = jnp.zeros(batch + (n_dofs,), dtype=dt)
+    if split:
+        return out.at[..., : 2 * n_vnodes].set(
+            jnp.swapaxes(y_nodes, -2, -1).reshape(batch + (2 * n_vnodes,))
+        )
     return out.at[..., : 2 * n_vnodes].set(
         y_nodes.reshape(batch + (2 * n_vnodes,))
     )

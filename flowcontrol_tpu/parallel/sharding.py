@@ -151,6 +151,11 @@ def shard_stepper(stepper, mesh: Mesh, axis: str = "space",
     """
     from flowcontrol_tpu.fem.assembly import velocity_cell_dofs
 
+    if getattr(stepper, "_hot_src", None) is not None:
+        raise ValueError(
+            "shard_stepper needs the stepper in mesh dof order — build it "
+            "with stepper_options={'hot_order': False}"
+        )
     space = stepper.space
     dev = stepper._dev
     kw = dict(axis=axis, batch_axis=batch_axis)

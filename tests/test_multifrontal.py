@@ -296,3 +296,43 @@ def test_stepper_solve_panel_trajectory(tmp_path, monkeypatch):
     # accumulates to the same ~1e-3 class as the f32-vs-f64 backend test
     assert np.linalg.norm(x4 - x0) / np.linalg.norm(x0) < 1e-3
     np.testing.assert_allclose(y4, y0, rtol=1e-3, atol=1e-5)
+
+
+def test_stepper_hot_order_matches_host_lu(tmp_path, monkeypatch):
+    """hot_order=True (split-component node-RCM hot layout: zero-permute
+    banded mass + windowed N(u), composed multifrontal boundary maps,
+    remapped sensors/lifts/BCs) reproduces the host_lu/f64 trajectory to
+    rounding. The renumbering is exact, so f64 agreement is ~1e-9."""
+    from flowcontrol_tpu.core.stepper import Stepper
+    from flowcontrol_tpu.models.lidcavity import LidCavityFlowSolver
+
+    monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
+    monkeypatch.setenv("FLOWCONTROL_TPU_HBM_GB", "0.002")
+    monkeypatch.setattr(Stepper, "LAPACK_LU_MAX_N", 300)
+
+    def run(backend, opts=None):
+        fs = LidCavityFlowSolver.make_default(
+            Re=500, num_steps=6, verbose=0, n_mesh=12,
+            path_out=tmp_path / f"{backend}{bool(opts)}",
+            solver_backend=backend, precision="f64",
+            stepper_options=opts or {},
+        )
+        fs.compute_steady_state(u_ctrl=[0.0], method="picard", max_iter=4)
+        fs.initialize_time_stepping()
+        for _ in range(5):
+            y = fs.step(np.array([0.01]))
+        return y, np.asarray(fs.fields.up_), fs._stepper
+
+    y_ref, x_ref, _ = run("host_lu")
+    y, x, st = run("dense_lu", {
+        "hot_order": True, "dense_operators": False,
+        "banded_operators": True, "windowed_nl": "onehot",
+    })
+    assert st._hot_src is not None
+    assert "perm" not in st._dev["m_banded"]          # zero-permute apply
+    assert "perm" not in st._dev["nl_win"]            # zero-permute N(u)
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-9
+    assert np.allclose(y, y_ref, rtol=1e-8, atol=1e-11)
+    # round-trip of the layout converters
+    v = np.arange(st.space.n_dofs, dtype=float)
+    assert np.array_equal(st.from_hot(st.to_hot(v)), v)

@@ -94,7 +94,7 @@ def main():
     # batched leg
     batched = None
     try:
-        up_b = np.asarray(carry.u_n)[None, :].repeat(BATCH, 0)
+        up_b = np.asarray(st.from_hot(carry.u_n))[None, :].repeat(BATCH, 0)
         carry_b = st.init_carry(jnp.asarray(up_b, dtype=st.dtype))
         useq_b = np.zeros((STEPS, BATCH, st.n_act), dtype=st.dtype)
         _, outs_b = roll(carry_b, useq_b)

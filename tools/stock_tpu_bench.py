@@ -74,7 +74,7 @@ assert np.isfinite(np.asarray(outs.dE)).all()
 
 # batched B=256
 B = 256
-up_b = np.asarray(fs._carry.u_n)[None, :].repeat(B, 0)
+up_b = np.asarray(fs._stepper.from_hot(fs._carry.u_n))[None, :].repeat(B, 0)
 carry_b = st.init_carry(jnp.asarray(up_b, dtype=st.dtype))
 useq_b = np.zeros((20, B, 2), dtype=st.dtype)
 t1 = time.time()
