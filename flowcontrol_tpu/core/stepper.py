@@ -171,13 +171,15 @@ class Stepper:
     #: (pass hot_order=False there).
     hot_order: bool | None = None
     #: run single-RHS multifrontal solves as an N-wide broadcast panel and
-    #: take lane 0: (1, n)-shaped vector ops waste 7/8 of the sublane dim,
-    #: and XLA picks matmul-shaped lowerings for the panel. The sweep
-    #: einsums pin HIGHEST matmul precision (solvers/multifrontal.py) so
-    #: the panel is exact-f32 class; measured on v5e at stock 56k
-    #: (tools/solve_precision_ab.py): 2.89 ms panel vs 3.00 ms vector
-    #: path, per-solve rel err 5.6e-8 vs 1.0e-7. Lanes are bitwise
-    #: identical. None = auto: 8 on accelerator backends, off on CPU.
+    #: take lane 0. The panel makes the sweep EINSUMS marginally faster
+    #: (matmul-shaped lowerings: 2.89 vs 3.00 ms solve-alone at stock 56k,
+    #: tools/solve_precision_ab.py), but everything else in the solve —
+    #: inbox gathers, bd gathers, slices, permutes — scales x panel, and
+    #: in the fused step graph that loses BADLY: measured on v5e through
+    #: the production step (it=1), panel=8 vs single-RHS is 4.54 vs
+    #: 3.22 ms at stock 56k and 34.3 vs 16.6 ms at the 235k stock cavity,
+    #: with bitwise-identical solutions (HIGHEST-precision einsums).
+    #: None = auto: OFF. The knob remains for A/B.
     solve_panel: int | None = None
     trisolve: str = "xla"  # 'xla' (blocked matmuls) | 'pallas' (fused kernel)
     block_lu_bs: int = 1024
@@ -621,8 +623,10 @@ class Stepper:
                 mperm = np.asarray(tree["perm"])
                 tree["perm"] = jnp.asarray(np.where(
                     mperm < n, hot_pos[np.minimum(mperm, n - 1)], n
-                ))
-                tree["ipos"] = jnp.asarray(np.asarray(tree["ipos"])[hot_src])
+                ).astype(np.int32))  # int32 lane gathers (as in _unpack)
+                tree["ipos"] = jnp.asarray(
+                    np.asarray(tree["ipos"])[hot_src].astype(np.int32)
+                )
             # dof-space vectors -> hot order (one-time, at build)
             dev["lift_act"] = [
                 jnp.asarray(np.asarray(v)[..., hot_src], dtype=dt)
@@ -838,9 +842,7 @@ class Stepper:
         if self._solver_kinds[oi] == "multifrontal":
             from flowcontrol_tpu.solvers.multifrontal import multifrontal_solve
 
-            panel = self.solve_panel
-            if panel is None:
-                panel = 8 if jax.default_backend() != "cpu" else 0
+            panel = self.solve_panel or 0
             if panel and rhs.ndim == 1:
                 rhs_p = jnp.broadcast_to(rhs, (int(panel),) + rhs.shape)
                 return multifrontal_solve(

@@ -561,9 +561,12 @@ class MultifrontalLU:
         dest = np.concatenate(dest_parts) if dest_parts else np.zeros(0, int)
         self.total_contrib = total_contrib
 
+        # int32 index vectors: lane-axis gathers with int64 indices are
+        # measurably slower on TPU, and total < 2^31 by construction
+        assert total < 2**31 - 1
         dev = {
-            "perm": jnp.asarray(perm),
-            "ipos": jnp.asarray(slot_of[:n]),
+            "perm": jnp.asarray(perm.astype(np.int32)),
+            "ipos": jnp.asarray(slot_of[:n].astype(np.int32)),
             "stages": [],
         }
         self._stage_static = []
@@ -610,13 +613,30 @@ class MultifrontalLU:
                 dseg = dloc - lo
                 dseg = np.where((dloc >= lo) & (dseg < ln), dseg, ln)
                 tab = _table_skip_pads(dseg, ln)
+                # zero-sentinel-at-0 convention: the sweep gathers from a
+                # GROWING buffer [zero | contributions written so far], so
+                # real positions shift +1 and pads point at the leading
+                # zero. Contributions addressed to this stage come only
+                # from deeper (earlier) stages, i.e. positions < c_off.
+                tab = np.where(tab >= len(dseg), 0, tab + 1)
+                assert tab.max(initial=0) <= c_offsets[di]
                 table_bytes += tab.nbytes // 2  # int32 on device
                 inbox_ts.append(jnp.asarray(
                     np.ascontiguousarray(tab.T.astype(np.int32))
                 ))
                 seg_static.append((m0, m1, True))
+            # backward-sweep boundary gather, suffix-relative: at stage si
+            # the finalized solution covers slots [offsets[si+1], total) and
+            # the sweep keeps it as [zero | that suffix]; bd slots (always
+            # strict-ancestor slots, hence >= offsets[si+1]) shift
+            # accordingly, pads point at the leading zero
+            sfx_base = off + elim_idx.size
+            real_bd = bd_slots < total
+            assert (bd_slots[real_bd] >= sfx_base).all()
+            bd_s = np.where(real_bd, bd_slots - sfx_base + 1, 0)
             stage = {
                 "bd": jnp.asarray(bd_slots.astype(np.int32)),
+                "bd_s": jnp.asarray(bd_s.astype(np.int32)),
                 "inbox_ts": tuple(inbox_ts),
             }
             if self.layout == "ji":
@@ -858,6 +878,14 @@ def _gather_sum_t(contrib, table_t):
     return jnp.take(padded, table_t, axis=-1).sum(axis=-2)
 
 
+def _gather_sum0(vals0, table_t):
+    """Like _gather_sum_t, but for the zero-sentinel-AT-0 convention:
+    ``vals0`` already carries a leading zero slot and ``table_t`` values
+    are pre-shifted (+1; pad -> 0). No per-call concatenate: the sweep
+    grows ``vals0`` incrementally, so the sentinel is placed once."""
+    return jnp.take(vals0, table_t, axis=-1).sum(axis=-2)
+
+
 @partial(jax.jit, static_argnames=("n", "total", "total_contrib", "stages",
                                    "layout", "einsum"))
 def multifrontal_solve(dev, b, n: int, total: int, total_contrib: int,
@@ -866,13 +894,30 @@ def multifrontal_solve(dev, b, n: int, total: int, total_contrib: int,
 
     Work vector in slot order (see _unpack). Forward sweep (leaves->root):
     xe_v = b[elim_v] − (inbox gather of deeper stages' boundary updates);
-    z_v = inv_ii xe_v, written into the stage's contiguous block; the
-    stage's own updates F_bi z_v land in its slice of the flat
-    contribution buffer. Backward (root->leaves):
-    x[elim_v] = z_v - inv_ii (F_ib x[bd_v]). No scatters: slice writes +
-    compact gather-table reductions only.
+    z_v = inv_ii xe_v; the stage's own updates F_bi z_v are APPENDED to a
+    growing contribution buffer. Backward (root->leaves):
+    x[elim_v] = z_v - inv_ii (F_ib x[bd_v]), with bd gathered from the
+    growing suffix of finalized blocks.
+
+    Two dataflows, picked by batch width:
+
+    - CONCAT (single-stream / narrow panels): the first version kept one
+      flat work vector and dynamic_update_slice'd every stage's block
+      into it — measured on v5e at the 235k stock cavity, that slice
+      machinery ALONE (no einsums, no gathers) cost 3.3 ms/solve of
+      relayout copies, ~40% of the whole solve. Here every stage reads
+      static slices of the CONSTANT slot-ordered input and appends its
+      results; the only O(total)-per-stage work left is one memcpy-class
+      concatenate. Gather sentinels sit at position 0 (tables pre-shifted
+      in _unpack) so growing buffers never invalidate an index.
+    - THREADED (wide batches): the concat growth re-copies the buffer
+      prefix every stage, which scales with batch width (~25x
+      total_contrib bytes x B per solve — real money at B=512); wide
+      batches keep the preallocated work vector + update-slices, whose
+      fixed relayout cost is amortized over the batch.
     """
     batch = b.shape[:-1]
+    wide = int(np.prod(batch)) > 8 if batch else False
     ji = layout == "ji"
     # hand-scheduled streaming matvec (single-RHS, canonical layout only:
     # the batched regime amortizes the factor read and keeps XLA's einsum)
@@ -885,43 +930,111 @@ def multifrontal_solve(dev, b, n: int, total: int, total_contrib: int,
     dtype = dev["stages"][0][inv_k].dtype
     out_dtype = b.dtype if b.dtype in (jnp.float32, jnp.float64) else dtype
 
-    bext = jnp.concatenate(
-        [jnp.asarray(b).astype(dtype), jnp.zeros(batch + (1,), dtype=dtype)],
-        axis=-1,
-    )
-    # slot-ordered work vector + one trailing pad slot (always zero)
-    x = jnp.concatenate(
-        [bext[..., dev["perm"]], jnp.zeros(batch + (1,), dtype=dtype)],
-        axis=-1,
-    )
-    # flat boundary-update buffer (stage si writes [c_off, c_off + m*b_max))
-    buf = jnp.zeros(batch + (total_contrib,), dtype=dtype)
+    zero1 = jnp.zeros(batch + (1,), dtype=dtype)
+    bext = jnp.concatenate([jnp.asarray(b).astype(dtype), zero1], axis=-1)
+    # slot-ordered input (CONSTANT through the sweep: stages read static
+    # slices of it, results accumulate in zparts — never written back)
+    x0 = bext[..., dev["perm"]]
 
     n_stages = len(stages)
+    if wide:
+        return _solve_threaded(
+            dev, x0, batch, zero1, total, total_contrib, stages,
+            ji, use_pallas, inv_k, ginv_k, fbi_k, dtype, out_dtype,
+        )
+    # growing contribution buffer [zero | stage-0 updates | stage-1 ... ]
+    bufcat = zero1
+    zparts = []
     # forward: deepest stages first (stage list is ordered deep -> root)
     for si in range(n_stages):
         st = dev["stages"][si]
         e_max, b_max, m, off, c_off, segs = stages[si]
-        xe = jax.lax.dynamic_slice_in_dim(
-            x, off, m * e_max, axis=-1
-        )
+        xe = jax.lax.slice_in_dim(x0, off, off + m * e_max, axis=-1)
         # segmented inbox reduction: gather only the targeted node
         # segments; untargeted segments (all of every leaf stage)
         # subtract nothing
-        pieces = []
         ti = 0
+        pieces = []
         for (m0, m1, tabbed) in segs:
-            ln = (m1 - m0) * e_max
+            seg = jax.lax.slice_in_dim(
+                xe, m0 * e_max, m1 * e_max, axis=-1
+            )
+            if tabbed:
+                ln = (m1 - m0) * e_max
+                inc = _gather_sum0(bufcat, st["inbox_ts"][ti])[..., :ln]
+                ti += 1
+                seg = seg - inc
+            pieces.append(seg)
+        xe = (pieces[0] if len(pieces) == 1
+              else jnp.concatenate(pieces, axis=-1))
+        xe = xe.reshape(batch + (m, e_max))
+        if ji:
+            z = jnp.einsum("mji,...mj->...mi", st[inv_k], xe, precision=_PREC)
+            upd = jnp.einsum("mib,...mi->...mb", st[fbi_k], z, precision=_PREC)
+        elif use_pallas and e_max % 128 == 0 and b_max % 128 == 0:
+            z = stack_matvec(st[inv_k], xe)
+            upd = stack_matvec(st[fbi_k], z)
+        else:
+            z = jnp.einsum("mij,...mj->...mi", st[inv_k], xe, precision=_PREC)
+            upd = jnp.einsum("mbi,...mi->...mb", st[fbi_k], z, precision=_PREC)
+        if si < n_stages - 1:  # the root's updates have no consumer
+            bufcat = jnp.concatenate(
+                [bufcat, upd.reshape(batch + (m * b_max,))], axis=-1
+            )
+        zparts.append(z)
+
+    # backward: root first. sfx = [zero | finalized slots off_{si+1}..total)
+    sfx = zero1
+    xparts_rev = []
+    for si in reversed(range(n_stages)):
+        st = dev["stages"][si]
+        e_max, b_max, m, off, c_off, _segs = stages[si]
+        xb = jnp.take(sfx, st["bd_s"], axis=-1)  # ancestor slots are final
+        if ji:
+            corr = jnp.einsum("mbi,...mb->...mi", st[ginv_k], xb, precision=_PREC)
+        elif use_pallas and e_max % 128 == 0 and b_max % 128 == 0:
+            corr = stack_matvec(st[ginv_k], xb)
+        else:
+            corr = jnp.einsum("mib,...mb->...mi", st[ginv_k], xb, precision=_PREC)
+        blk = (zparts[si] - corr).reshape(batch + (m * e_max,))
+        xparts_rev.append(blk)
+        if si > 0:
+            sfx = jnp.concatenate([zero1, blk, sfx[..., 1:]], axis=-1)
+
+    # every dof is eliminated exactly once, so ipos has no pad entries
+    x = jnp.concatenate(list(reversed(xparts_rev)), axis=-1)
+    return x[..., dev["ipos"]].astype(out_dtype)
+
+
+def _solve_threaded(dev, x0, batch, zero1, total, total_contrib, stages,
+                    ji, use_pallas, inv_k, ginv_k, fbi_k, dtype, out_dtype):
+    """Wide-batch sweep: preallocated work vector + update-slices (see
+    multifrontal_solve docstring). Same tables (zero-sentinel-at-0), so
+    inbox gathers read [zero | buf] and bd gathers use the absolute-slot
+    ``bd`` key with its end-of-x pad slot."""
+    if use_pallas:
+        from flowcontrol_tpu.ops.pallas_mf_matvec import stack_matvec
+    # work vector + trailing pad slot (bd pads point at it)
+    x = jnp.concatenate([x0, zero1], axis=-1)
+    buf = jnp.zeros(batch + (total_contrib,), dtype=dtype)
+
+    n_stages = len(stages)
+    for si in range(n_stages):
+        st = dev["stages"][si]
+        e_max, b_max, m, off, c_off, segs = stages[si]
+        xe = jax.lax.dynamic_slice_in_dim(x, off, m * e_max, axis=-1)
+        ti = 0
+        buf0 = jnp.concatenate([zero1, buf], axis=-1)
+        for (m0, m1, tabbed) in segs:
             if not tabbed:
                 continue
-            inc = _gather_sum_t(buf, st["inbox_ts"][ti])[..., :ln]
+            ln = (m1 - m0) * e_max
+            inc = _gather_sum0(buf0, st["inbox_ts"][ti])[..., :ln]
             ti += 1
-            pieces.append((m0 * e_max, inc))
-        for lo, inc in pieces:
+            lo = m0 * e_max
             xe = jax.lax.dynamic_update_slice_in_dim(
                 xe,
-                jax.lax.dynamic_slice_in_dim(xe, lo, inc.shape[-1], axis=-1)
-                - inc,
+                jax.lax.dynamic_slice_in_dim(xe, lo, ln, axis=-1) - inc,
                 lo, axis=-1,
             )
         xe = xe.reshape(batch + (m, e_max))
@@ -937,13 +1050,10 @@ def multifrontal_solve(dev, b, n: int, total: int, total_contrib: int,
         buf = jax.lax.dynamic_update_slice_in_dim(
             buf, upd.reshape(batch + (m * b_max,)), c_off, axis=-1
         )
-        # store z in the stage's contiguous block (static slice update;
-        # no later forward stage reads it)
         x = jax.lax.dynamic_update_slice_in_dim(
             x, z.reshape(batch + (m * e_max,)), off, axis=-1
         )
 
-    # backward: root first
     for si in reversed(range(n_stages)):
         st = dev["stages"][si]
         e_max, b_max, m, off, c_off, _segs = stages[si]

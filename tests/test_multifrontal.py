@@ -104,6 +104,25 @@ def test_multifrontal_f32_accuracy_and_batch(bdf2_system, tmp_path,
     assert np.asarray(mf.solve(b[0, 0].astype(np.float64))).dtype == np.float64
 
 
+def test_multifrontal_wide_batch_matches_narrow(bdf2_system, tmp_path,
+                                                monkeypatch):
+    """Batches wider than 8 take the threaded update-slice sweep (the
+    concat sweep's per-stage prefix copies scale with batch width); both
+    dataflows run the same tables and einsums, so rows must agree to
+    reduction-order noise."""
+    monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
+    a_bc, coords = bdf2_system
+    mf = MultifrontalLU(a_bc, coords, leaf_max=700, dtype=jax.numpy.float32)
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal((16, a_bc.shape[0]))
+    x_wide = np.asarray(mf.solve(b), dtype=np.float64)  # threaded
+    x_narrow = np.asarray(mf.solve(b[:2]), dtype=np.float64)  # concat
+    for j in range(2):
+        rel = (np.linalg.norm(x_wide[j] - x_narrow[j])
+               / np.linalg.norm(x_narrow[j]))
+        assert rel < 1e-6, rel
+
+
 @pytest.mark.parametrize("precision,tol", [("f64", 1e-9), ("f32", 1e-3)])
 def test_stepper_multifrontal_backend_matches_host_lu(tmp_path, monkeypatch,
                                                       precision, tol):
