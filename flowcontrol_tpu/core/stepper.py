@@ -197,6 +197,20 @@ class Stepper:
     borrow_iters: int = 20
 
     def __post_init__(self):
+        import logging
+        import time as _time
+
+        _tlog = logging.getLogger(__name__)
+        _tlast = [_time.time()]
+
+        def _tick(what: str) -> None:
+            # phase timing for the build: prepare at stock scale is minutes,
+            # and an unattributed stall is undebuggable after the fact
+            now = _time.time()
+            if now - _tlast[0] >= 0.5:
+                _tlog.info("build: %s %.1fs", what, now - _tlast[0])
+            _tlast[0] = now
+
         forms, space, bcs = self.forms, self.space, self.bcs
         n = space.n_dofs
         dt = self.dtype
@@ -588,6 +602,7 @@ class Stepper:
                 f"windowed_nl={self.windowed_nl}"
             )
         nl_built_hot = None
+        _tick("solver factorization")
         if hot:
             from flowcontrol_tpu.ops.cellwindows import (
                 build_cell_windows,
@@ -596,6 +611,7 @@ class Stepper:
 
             nv = space.n_vnodes
             nperm = node_rcm(space.cell_vel_nodes, nv)
+            _tick("node_rcm")
             if forms.is_nonlinear and self.windowed_nl:
                 nl_built_hot = build_cell_windows(
                     space.cell_vel_nodes, nv,
@@ -603,6 +619,7 @@ class Stepper:
                      "phi2": forms.geom.phi2},
                     dtype=dt, node_order=nperm, split_layout=True,
                 )
+                _tick("build_cell_windows")
                 if nl_built_hot is None:
                     # window-width cap: the gather N(u) needs mesh order
                     hot = False
@@ -621,12 +638,14 @@ class Stepper:
                     continue
                 tree = dev["solvers"][oi]
                 mperm = np.asarray(tree["perm"])
+                _tick("perm d2h sync")
                 tree["perm"] = jnp.asarray(np.where(
                     mperm < n, hot_pos[np.minimum(mperm, n - 1)], n
                 ).astype(np.int32))  # int32 lane gathers (as in _unpack)
                 tree["ipos"] = jnp.asarray(
                     np.asarray(tree["ipos"])[hot_src].astype(np.int32)
                 )
+            _tick("mf perm composition")
             # dof-space vectors -> hot order (one-time, at build)
             dev["lift_act"] = [
                 jnp.asarray(np.asarray(v)[..., hot_src], dtype=dt)
@@ -636,6 +655,7 @@ class Stepper:
                 jnp.asarray(np.asarray(v)[..., hot_src], dtype=dt)
                 for v in dev["lift_static"]
             ]
+            _tick("lift reorder")
             logging.getLogger(__name__).info(
                 "hot dof order on: split-component node-RCM layout "
                 "(n_vnodes=%d) — zero-permute banded/windowed applies", nv
@@ -652,8 +672,10 @@ class Stepper:
         # gather-table assembly maps (scatter transposed into padded gathers)
         dev["gt_mixed"] = jnp.asarray(build_gather_table(cell_dofs_x, n))
         dev["gt_vel"] = jnp.asarray(build_gather_table(vel_dofs_x, n))
+        _tick("gather tables")
         dev["geom"] = geometry_device_tables(forms.geom, dtype=dt)
         dev["m_e"] = jnp.asarray(forms.mass_elements(), dtype=dt)
+        _tick("geom+mass tables")
         if self.scheme == "cn":
             dev["lvel_e"] = jnp.asarray(
                 forms.velocity_operator_elements(u0, include_shift=False), dtype=dt
@@ -709,6 +731,7 @@ class Stepper:
                     ).tocsr()),
                     dtype=dt, ordered=hs is not None,
                 )
+            _tick("banded operators")
         # window-blocked N(u): zero global gathers in the one u-dependent
         # element pass of the step (ops/cellwindows.py)
         dev["nl_win"] = None
@@ -756,6 +779,7 @@ class Stepper:
         # per-order-index solve hooks (rhs -> x): installed by
         # parallel.sharding.shard_stepper to distribute the direct solve
         self._solve_hooks: dict = {}
+        _tick("device tables")
 
     # ── Pure step math (traceable; dev passed explicitly) ───────────────────
 
