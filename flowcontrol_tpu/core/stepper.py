@@ -637,14 +637,23 @@ class Stepper:
                 if kind != "multifrontal":
                     continue
                 tree = dev["solvers"][oi]
-                mperm = np.asarray(tree["perm"])
-                _tick("perm d2h sync")
-                tree["perm"] = jnp.asarray(np.where(
+                # host mirrors avoid a d2h that would block on the async
+                # factor upload queue (measured 47.9 s at the 235k cavity)
+                mperm = tree.get("perm_host")
+                if mperm is None:
+                    mperm = np.asarray(tree["perm"])
+                    _tick("perm d2h sync")
+                mperm_new = np.where(
                     mperm < n, hot_pos[np.minimum(mperm, n - 1)], n
-                ).astype(np.int32))  # int32 lane gathers (as in _unpack)
-                tree["ipos"] = jnp.asarray(
-                    np.asarray(tree["ipos"])[hot_src].astype(np.int32)
-                )
+                ).astype(np.int32)
+                ipos_old = tree.get("ipos_host")
+                if ipos_old is None:
+                    ipos_old = np.asarray(tree["ipos"])
+                ipos_new = ipos_old[hot_src].astype(np.int32)
+                tree["perm"] = jnp.asarray(mperm_new)  # int32 lane gathers
+                tree["ipos"] = jnp.asarray(ipos_new)
+                tree["perm_host"] = mperm_new
+                tree["ipos_host"] = ipos_new
             _tick("mf perm composition")
             # dof-space vectors -> hot order (one-time, at build)
             dev["lift_act"] = [
@@ -768,6 +777,12 @@ class Stepper:
             self._bc_dofs = np.asarray(bcs.dofs)  # static (baked into jit)
         dev["bc_values"] = jnp.asarray(bcs.values, dtype=dt)
         dev["bc_profiles"] = jnp.asarray(profiles, dtype=dt)
+        # strip build-time host mirrors: dev is a jit ARGUMENT, and numpy
+        # leaves in the pytree would re-upload on every call
+        for s in dev["solvers"]:
+            if isinstance(s, dict):
+                s.pop("perm_host", None)
+                s.pop("ipos_host", None)
         self._dev = dev
         self._cell_dofs = np.asarray(cell_dofs_x)
         self._coeffs = {o: forms.rhs_coefficients(o) for o in orders}

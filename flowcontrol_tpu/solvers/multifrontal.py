@@ -293,36 +293,49 @@ class MultifrontalLU:
                if os.environ.get("FC_MF_TRIM", "0") == "1"
                else "multifrontal-v4")
         key = fc_key(a_csr, ver, leaf_max, np_store.name, coords_digest)
-        cached = fc_load(key)
-        if cached is not None and int(cached["n"]) == n:
-            payload = {k: v for k, v in cached.items()}
-            logger.info("multifrontal: loaded cached factors")
-        else:
-            payload = self._factorize(a_csr, coords, leaf_max, np_store)
-            fc_save(key, n=np.int64(n), **payload)
-        # in-memory repack (disk format stays canonical): penalty-DP
-        # grouping strictly dominates the fixed bucket grid — measured on
-        # the real payloads: 235k stock cavity 71 stages/2.42 GB ->
-        # 50/2.11 GB, 56k stock cylinder 46/0.54 -> 24/0.50 at the
-        # default penalty. Fewer stages (less per-stage dispatch/gather
-        # setup) AND fewer padded bytes (less HBM per solve, fewer padded
-        # flops batched). FC_MF_PACK=bucket restores the v4 grouping.
+        # knobs that shape the DERIVED (upload-ready) representation
         pack = os.environ.get("FC_MF_PACK", "dp")
-        if pack == "dp":
-            lam_mb = float(os.environ.get("FC_MF_PACK_LAM_MB", "8"))
-            payload = _repack_dp(payload, n, lam_bytes=lam_mb * 2**20)
-        elif pack != "bucket":
+        if pack not in ("dp", "bucket"):
             raise ValueError(f"FC_MF_PACK must be 'dp'|'bucket', got {pack}")
-        # segmented inbox gathers (see _unpack): 'split' sorts each stage's
-        # nodes by inbox load so the gather tables shrink to the real
-        # contribution count; 'full' keeps one max-kmax table per stage
+        lam_mb = float(os.environ.get("FC_MF_PACK_LAM_MB", "8"))
+        # segmented inbox gathers (see _build_tables): 'split' sorts each
+        # stage's nodes by inbox load so the gather tables shrink to the
+        # real contribution count; 'full' keeps one max-kmax table/stage
         self.inbox = os.environ.get("FC_MF_INBOX", "split")
         if self.inbox not in ("split", "full"):
             raise ValueError(f"FC_MF_INBOX must be 'split'|'full', "
                              f"got {self.inbox}")
-        if self.inbox == "split":
-            payload = _sort_nodes_by_inbox_load(payload, n)
-        self._unpack(payload, dtype)
+        # derived cache: the post-repack, post-sort, table-complete,
+        # layout-final representation — a warm load is pure fread +
+        # straight H2D, skipping ~35 s of host transforms at 235k dofs
+        # (and 13% fewer bytes than the canonical payload after DP repack)
+        dkey = f"{key}-d1-{pack}-{lam_mb:g}-{self.inbox}-{self.layout}"
+        dcached = fc_load(dkey)
+        if dcached is not None and int(dcached["n"]) == n:
+            tables, stacks = _decode_derived(dcached)
+            logger.info("multifrontal: loaded derived (upload-ready) cache")
+        else:
+            cached = fc_load(key)
+            if cached is not None and int(cached["n"]) == n:
+                payload = {k: v for k, v in cached.items()}
+                logger.info("multifrontal: loaded cached factors")
+            else:
+                payload = self._factorize(a_csr, coords, leaf_max, np_store)
+                fc_save(key, n=np.int64(n), **payload)
+            # in-memory repack (disk format stays canonical): penalty-DP
+            # grouping strictly dominates the fixed bucket grid — measured
+            # on the real payloads: 235k stock cavity 71 stages/2.42 GB ->
+            # 50/2.11 GB, 56k stock cylinder 46/0.54 -> 24/0.50 at the
+            # default penalty. Fewer stages (less per-stage dispatch/gather
+            # setup) AND fewer padded bytes. FC_MF_PACK=bucket restores v4.
+            if pack == "dp":
+                payload = _repack_dp(payload, n, lam_bytes=lam_mb * 2**20)
+            if self.inbox == "split":
+                payload = _sort_nodes_by_inbox_load(payload, n)
+            tables = self._build_tables(payload)
+            stacks = self._layout_stacks(payload)
+            fc_save(dkey, n=np.int64(n), **_encode_derived(tables, stacks))
+        self._finalize_device(tables, stacks)
         logger.info(
             "multifrontal: ready in %.1fs — %d depths, factor %.2f GB",
             time.time() - t_all, self.n_depths,
@@ -501,6 +514,11 @@ class MultifrontalLU:
         return payload
 
     def _unpack(self, payload, dtype):
+        tables = self._build_tables(payload)
+        stacks = self._layout_stacks(payload)
+        self._finalize_device(tables, stacks)
+
+    def _build_tables(self, payload):
         """Build the SCATTER-FREE device representation.
 
         The work vector is laid out in (stage, node, slot) order so each
@@ -564,12 +582,15 @@ class MultifrontalLU:
         # int32 index vectors: lane-axis gathers with int64 indices are
         # measurably slower on TPU, and total < 2^31 by construction
         assert total < 2**31 - 1
-        dev = {
-            "perm": jnp.asarray(perm.astype(np.int32)),
-            "ipos": jnp.asarray(slot_of[:n].astype(np.int32)),
-            "stages": [],
+        tables = {
+            "n_depths": self.n_depths,
+            "total": total,
+            "total_contrib": total_contrib,
+            "perm": perm.astype(np.int32),
+            "ipos": slot_of[:n].astype(np.int32),
+            "stages": [],   # per-stage dicts of host int32 index arrays
+            "static": [],   # per-stage static tuples
         }
-        self._stage_static = []
         table_bytes = 0
         for di in range(self.n_depths):
             elim_idx = payload[f"elim_{di}"]
@@ -621,9 +642,9 @@ class MultifrontalLU:
                 tab = np.where(tab >= len(dseg), 0, tab + 1)
                 assert tab.max(initial=0) <= c_offsets[di]
                 table_bytes += tab.nbytes // 2  # int32 on device
-                inbox_ts.append(jnp.asarray(
+                inbox_ts.append(
                     np.ascontiguousarray(tab.T.astype(np.int32))
-                ))
+                )
                 seg_static.append((m0, m1, True))
             # backward-sweep boundary gather, suffix-relative: at stage si
             # the finalized solution covers slots [offsets[si+1], total) and
@@ -634,30 +655,12 @@ class MultifrontalLU:
             real_bd = bd_slots < total
             assert (bd_slots[real_bd] >= sfx_base).all()
             bd_s = np.where(real_bd, bd_slots - sfx_base + 1, 0)
-            stage = {
-                "bd": jnp.asarray(bd_slots.astype(np.int32)),
-                "bd_s": jnp.asarray(bd_s.astype(np.int32)),
+            tables["stages"].append({
+                "bd": bd_slots.astype(np.int32),
+                "bd_s": bd_s.astype(np.int32),
                 "inbox_ts": tuple(inbox_ts),
-            }
-            if self.layout == "ji":
-                # pre-transposed keys: distinct names so a consumer built
-                # for the canonical layout (e.g. the sharded solve) fails
-                # loudly instead of multiplying by the transpose
-                stage["inv_t"] = jnp.asarray(
-                    np.ascontiguousarray(payload[f"inv_{di}"].swapaxes(1, 2))
-                )
-                stage["ginv_t"] = jnp.asarray(
-                    np.ascontiguousarray(payload[f"ginv_{di}"].swapaxes(1, 2))
-                )
-                stage["fbi_t"] = jnp.asarray(
-                    np.ascontiguousarray(payload[f"fbi_{di}"].swapaxes(1, 2))
-                )
-            else:
-                stage["inv"] = jnp.asarray(payload[f"inv_{di}"])
-                stage["ginv"] = jnp.asarray(payload[f"ginv_{di}"])
-                stage["fbi"] = jnp.asarray(payload[f"fbi_{di}"])
-            dev["stages"].append(stage)
-            self._stage_static.append(
+            })
+            tables["static"].append(
                 (elim_idx.shape[1], bd_idx.shape[1], elim_idx.shape[0],
                  offsets[di], c_offsets[di], tuple(seg_static))
             )
@@ -665,6 +668,60 @@ class MultifrontalLU:
             "multifrontal: %d contributions, inbox tables %.1f MB",
             total_contrib, table_bytes / 2**20,
         )
+        return tables
+
+    def _layout_stacks(self, payload):
+        """Per-stage factor stacks in their FINAL host layout (the 'ji'
+        pre-transpose applied), ready for a straight H2D upload."""
+        out = []
+        for di in range(len(payload["depth_order"])):
+            inv = payload[f"inv_{di}"]
+            ginv = payload[f"ginv_{di}"]
+            fbi = payload[f"fbi_{di}"]
+            if self.layout == "ji":
+                inv = np.ascontiguousarray(inv.swapaxes(1, 2))
+                ginv = np.ascontiguousarray(ginv.swapaxes(1, 2))
+                fbi = np.ascontiguousarray(fbi.swapaxes(1, 2))
+            out.append((inv, ginv, fbi))
+        return out
+
+    def _finalize_device(self, tables, stacks):
+        """Upload tables + stacks; set the device tree and static specs."""
+        self.n_depths = int(tables["n_depths"])
+        self.total_slots = int(tables["total"])
+        self.total_contrib = int(tables["total_contrib"])
+        perm_h = np.asarray(tables["perm"])
+        ipos_h = np.asarray(tables["ipos"])
+        dev = {
+            "perm": jnp.asarray(perm_h),
+            "ipos": jnp.asarray(ipos_h),
+            # host mirrors: build-time consumers (the stepper's hot-order
+            # composition) read these instead of pulling the device copy
+            # back — a d2h on "perm" blocks on the whole async factor H2D
+            # queue (~48 s behind a 2 GB upload on the axon relay). The
+            # stepper strips them before dev enters any jit argument.
+            "perm_host": perm_h,
+            "ipos_host": ipos_h,
+            "stages": [],
+        }
+        # 'ji' stacks carry distinct names so a consumer built for the
+        # canonical layout (e.g. the sharded solve) fails loudly instead
+        # of multiplying by the transpose
+        sfx = "_t" if self.layout == "ji" else ""
+        for st_h, (inv, ginv, fbi) in zip(tables["stages"], stacks):
+            dev["stages"].append({
+                "bd": jnp.asarray(st_h["bd"]),
+                "bd_s": jnp.asarray(st_h["bd_s"]),
+                "inbox_ts": tuple(jnp.asarray(t) for t in st_h["inbox_ts"]),
+                f"inv{sfx}": jnp.asarray(inv),
+                f"ginv{sfx}": jnp.asarray(ginv),
+                f"fbi{sfx}": jnp.asarray(fbi),
+            })
+        self._stage_static = [
+            (int(e), int(b), int(m), int(off), int(coff),
+             tuple((int(m0), int(m1), bool(f)) for (m0, m1, f) in segs))
+            for (e, b, m, off, coff, segs) in tables["static"]
+        ]
         self._dev = dev
 
     # ── public API ──────────────────────────────────────────────────────────
@@ -679,7 +736,76 @@ class MultifrontalLU:
                     einsum=self.einsum)
 
     def solve(self, b):
-        return multifrontal_solve(self._dev, b, **self.static())
+        # drop the build-time host mirrors: numpy leaves in a jit argument
+        # would re-upload on every call
+        dev = {k: v for k, v in self._dev.items() if not k.endswith("_host")}
+        return multifrontal_solve(dev, b, **self.static())
+
+
+def _encode_derived(tables: dict, stacks: list) -> dict:
+    """Flatten (tables, stacks) into named numpy arrays for the factor
+    cache. Static/shape metadata rides as a JSON uint8 sidecar array."""
+    import json
+
+    meta = {
+        "n_depths": int(tables["n_depths"]),
+        "total": int(tables["total"]),
+        "total_contrib": int(tables["total_contrib"]),
+        "static": [
+            [int(e), int(b), int(m), int(off), int(coff),
+             [[int(m0), int(m1), bool(f)] for (m0, m1, f) in segs]]
+            for (e, b, m, off, coff, segs) in tables["static"]
+        ],
+        "n_ibt": [len(st["inbox_ts"]) for st in tables["stages"]],
+    }
+    out = {
+        "perm": np.asarray(tables["perm"]),
+        "ipos": np.asarray(tables["ipos"]),
+        "meta_json": np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        ).copy(),
+    }
+    for di, (st, (inv, ginv, fbi)) in enumerate(
+        zip(tables["stages"], stacks)
+    ):
+        out[f"bds_{di}"] = np.asarray(st["bd"])
+        out[f"bdss_{di}"] = np.asarray(st["bd_s"])
+        for si, t in enumerate(st["inbox_ts"]):
+            out[f"ibt_{di}_{si}"] = np.asarray(t)
+        out[f"inv_{di}"] = inv
+        out[f"ginv_{di}"] = ginv
+        out[f"fbi_{di}"] = fbi
+    return out
+
+
+def _decode_derived(d: dict) -> tuple[dict, list]:
+    import json
+
+    meta = json.loads(bytes(np.asarray(d["meta_json"])).decode())
+    tables = {
+        "n_depths": meta["n_depths"],
+        "total": meta["total"],
+        "total_contrib": meta["total_contrib"],
+        "perm": d["perm"],
+        "ipos": d["ipos"],
+        "stages": [],
+        "static": [
+            (e, b, m, off, coff,
+             tuple((m0, m1, bool(f)) for (m0, m1, f) in segs))
+            for (e, b, m, off, coff, segs) in meta["static"]
+        ],
+    }
+    stacks = []
+    for di in range(meta["n_depths"]):
+        tables["stages"].append({
+            "bd": d[f"bds_{di}"],
+            "bd_s": d[f"bdss_{di}"],
+            "inbox_ts": tuple(
+                d[f"ibt_{di}_{si}"] for si in range(meta["n_ibt"][di])
+            ),
+        })
+        stacks.append((d[f"inv_{di}"], d[f"ginv_{di}"], d[f"fbi_{di}"]))
+    return tables, stacks
 
 
 def _round128(x: int) -> int:
