@@ -339,16 +339,16 @@ def main():
             # context only — the most recent on-chip numbers this bench
             # produced before the relay outage (NOT this run's result)
             "last_measured": {
-                "date": "2026-08-18",
+                "date": "2026-08-19",
                 "stock_56k": {
-                    "single_steps_per_sec": 212.7, "single_vs_cpu": 28.1,
-                    "batched_agg_steps_per_sec": 9714, "batched_B": 256,
-                    "setup_compile_s": 37,
+                    "single_steps_per_sec": 319.7, "single_vs_cpu": 45.4,
+                    "batched_agg_steps_per_sec": 10040, "batched_B": 512,
+                    "setup_compile_s": 6,
                 },
                 "cavity_235k": {
-                    "single_steps_per_sec": 24.1, "single_vs_cpu": 15.7,
-                    "batched_agg_steps_per_sec": 270, "batched_B": 16,
-                    "prepare_s": 184,
+                    "single_steps_per_sec": 58.1, "single_vs_cpu": 30.5,
+                    "batched_agg_steps_per_sec": 353, "batched_B": 16,
+                    "prepare_s": 231,
                 },
             },
         }))
