@@ -306,30 +306,43 @@ def bench_cavity(platform: str) -> dict | None:
     }
 
 
-def main():
-    import threading
+def _accel_probe(timeout_s: float) -> str | None:
+    """Run a tiny jitted op end-to-end in a SUBPROCESS with a deadline.
 
-    import jax
+    Returns None when the accelerator answered, else a reason string.
+    Probing in-process is not enough: the axon TPU relay has a half-up
+    failure mode where ``jax.devices()`` returns instantly but every
+    compile/execute RPC blocks forever (observed 2026-08-20), which would
+    wedge the bench harness with no record emitted. A subprocess both
+    bounds the hang and keeps this process free of a poisoned backend.
+    """
+    import subprocess
 
-    # Bounded backend init: the axon TPU relay serializes clients and its
-    # outages make jax.devices() block FOREVER (observed: multi-hour tunnel
-    # outage). Probe it on a daemon thread; on timeout emit an honest
-    # SKIPPED record instead of hanging the bench harness.
-    probe: dict = {}
-
-    def _init():
-        try:
-            probe["devices"] = jax.devices()
-        except Exception as e:  # pragma: no cover - env-specific
-            probe["error"] = repr(e)
-
-    th = threading.Thread(target=_init, daemon=True)
-    th.start()
-    th.join(timeout=float(os.environ.get("BENCH_INIT_TIMEOUT_S", "900")))
-    if "devices" not in probe:
-        reason = probe.get(
-            "error", "timeout — TPU relay tunnel unreachable"
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float(jax.jit(lambda: (jnp.ones((128, 128))"
+        " @ jnp.ones((128, 128))).sum())()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
         )
+    except subprocess.TimeoutExpired:
+        return (f"tiny-op probe timed out after {timeout_s:.0f}s — "
+                "TPU relay tunnel unreachable or wedged")
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()[-1:] or ["no stderr"]
+        return f"tiny-op probe failed: {tail[0]}"
+    return None
+
+
+def main():
+    # Bounded end-to-end backend probe (subprocess): relay outages make
+    # either jax.devices() or the first compile/execute block FOREVER.
+    # On failure emit an honest SKIPPED record instead of hanging.
+    reason = _accel_probe(float(os.environ.get("BENCH_INIT_TIMEOUT_S", "900")))
+    if reason is not None:
         print(json.dumps({
             "metric": "cylinder_re100_steps_per_sec",
             "value": 0.0,
@@ -353,6 +366,8 @@ def main():
             },
         }))
         return
+
+    import jax
 
     platform = jax.devices()[0].platform
     on_accel = platform in ("tpu", "axon")
