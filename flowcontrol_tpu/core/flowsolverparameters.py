@@ -116,8 +116,16 @@ class ParamSolver(ParamFlowSolver):
     solver_backend: str = "auto"  # 'auto' | 'host_lu' | 'dense_lu' | 'gmres'
     precision: str = "auto"  # 'auto' | 'f32' | 'f64'
     pin_pressure: bool | None = None  # None = auto-detect enclosed flows
-    # extra Stepper keyword overrides (refine_steps, dense_operators,
-    # trisolve, block_lu_bs, gmres_iters, ...)
+    # extra Stepper keyword overrides — any core.stepper.Stepper dataclass
+    # field, e.g. refine_steps, dense_operators, banded_operators,
+    # windowed_nl, hot_order, trisolve, block_lu_bs, gmres_iters, and the
+    # production-gating multifrontal/NL knobs promoted from env vars:
+    #   mf_leaf_max (int, default 512; env FC_MF_LEAF_MAX)
+    #   mf_trim (bool, default True; env FC_MF_TRIM)
+    #   mf_inbox ('split'|'full', default 'split'; env FC_MF_INBOX)
+    #   nl_onehot_budget_mb (float, default 512; env FC_NL_ONEHOT_BUDGET_MB)
+    # The env var applies only when the field is left None (see the
+    # Stepper docstrings for the measured rationale behind each default).
     stepper_options: dict = field(default_factory=dict)
 
 

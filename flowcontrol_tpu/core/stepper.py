@@ -167,8 +167,9 @@ class Stepper:
     #: :meth:`from_hot`/:meth:`to_hot` at external boundaries (FlowSolver
     #: does this when it stores fields). None = auto: on when every
     #: solver kind is multifrontal/borrowed and the banded+windowed
-    #: regime is active; incompatible with parallel.sharding.shard_stepper
-    #: (pass hot_order=False there).
+    #: regime is active. Composes with parallel.sharding.shard_stepper:
+    #: the sharded appliers renumber their connectivity through the same
+    #: permutation and the sharded solve inherits the composed perm/ipos.
     hot_order: bool | None = None
     #: run single-RHS multifrontal solves as an N-wide broadcast panel and
     #: take lane 0. The panel makes the sweep EINSUMS marginally faster
@@ -182,6 +183,18 @@ class Stepper:
     #: None = auto: OFF. The knob remains for A/B.
     solve_panel: int | None = None
     trisolve: str = "xla"  # 'xla' (blocked matmuls) | 'pallas' (fused kernel)
+    #: multifrontal ordering knobs, promoted to the config surface (env
+    #: FC_MF_LEAF_MAX / FC_MF_TRIM / FC_MF_INBOX still override when the
+    #: field is None — see MultifrontalLU.__init__ for defaults and the
+    #: measured rationale): nested-dissection leaf size, separator
+    #: trimming, and inbox-gather segmentation ('split'|'full').
+    mf_leaf_max: int | None = None
+    mf_trim: bool | None = None
+    mf_inbox: str | None = None
+    #: HBM budget (MB) for the windowed-NL one-hot mask before the block
+    #: axis chunks into lax.map groups (env FC_NL_ONEHOT_BUDGET_MB
+    #: overrides when None; default 512 — ops/cellwindows.py)
+    nl_onehot_budget_mb: float | None = None
     block_lu_bs: int = 1024
     #: above this size, XLA's LU custom call exhausts VMEM on v5e — use our
     #: matmul-blocked LU instead (solvers/block_lu.py)
@@ -404,12 +417,10 @@ class Stepper:
                             MultifrontalLU,
                         )
 
-                        import os as _os
-
                         slu = MultifrontalLU(
                             a_bc, mixed_dof_coordinates(space),
-                            leaf_max=int(_os.environ.get(
-                                "FC_MF_LEAF_MAX", "1536")),
+                            leaf_max=self.mf_leaf_max,
+                            trim=self.mf_trim, inbox=self.mf_inbox,
                             dtype=dt, store_dtype=store_dt,
                         )
                         self._solver_kinds.append("multifrontal")
@@ -618,6 +629,7 @@ class Stepper:
                     {"wq": forms.geom.wq, "dphi2": forms.geom.dphi2,
                      "phi2": forms.geom.phi2},
                     dtype=dt, node_order=nperm, split_layout=True,
+                    onehot_budget_mb=self.nl_onehot_budget_mb,
                 )
                 _tick("build_cell_windows")
                 if nl_built_hot is None:
@@ -758,6 +770,7 @@ class Stepper:
                         "phi2": forms.geom.phi2,
                     },
                     dtype=dt,
+                    onehot_budget_mb=self.nl_onehot_budget_mb,
                 )
             if built is not None:
                 dev["nl_win"], self._nl_win_static = built

@@ -75,7 +75,8 @@ def node_rcm(cell_vel_nodes: np.ndarray, n_vnodes: int) -> np.ndarray:
 def build_cell_windows(cell_vel_nodes: np.ndarray, n_vnodes: int,
                        geom_tables: dict, dtype=np.float32,
                        max_width: int = 8192, node_order=None,
-                       split_layout: bool = False):
+                       split_layout: bool = False,
+                       onehot_budget_mb: float | None = None):
     """Host-side build: (nc, 6) node ids -> window-blocked static meta.
 
     ``geom_tables``: the per-cell quadrature arrays (wq (nc, q),
@@ -149,9 +150,11 @@ def build_cell_windows(cell_vel_nodes: np.ndarray, n_vnodes: int,
     # a non-scan compile — an HBM OOM), so above the budget the block axis
     # is processed in lax.map groups sized to keep any materialization
     # bounded. 0 = unchunked (the 56k mask is ~0.3 GB and always fuses).
-    budget = float(
-        __import__("os").environ.get("FC_NL_ONEHOT_BUDGET_MB", "512")
-    ) * 2**20
+    if onehot_budget_mb is None:  # env override of the config-surface knob
+        onehot_budget_mb = float(
+            __import__("os").environ.get("FC_NL_ONEHOT_BUDGET_MB", "512")
+        )
+    budget = float(onehot_budget_mb) * 2**20
     oh_bytes = nb * (_RC * n_loc) * w * np.dtype(dtype).itemsize
     chunk = 0
     if oh_bytes > budget:

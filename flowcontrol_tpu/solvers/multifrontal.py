@@ -103,7 +103,8 @@ def _choose_separator(level: np.ndarray, counts: np.ndarray,
 
 
 def build_nd_tree(g, coords: np.ndarray, dofs: np.ndarray,
-                  leaf_max: int = 1536, depth: int = 0) -> _Node:
+                  leaf_max: int = 1536, depth: int = 0,
+                  trim_passes: int = 4) -> _Node:
     """Recursive nested-dissection tree over ``dofs`` (global ids).
 
     ``g`` is the symmetrized global pattern (CSR). Separators are single
@@ -137,14 +138,10 @@ def build_nd_tree(g, coords: np.ndarray, dofs: np.ndarray,
     # minimal one — any level-s vertex with no neighbor strictly on one
     # side can move to the other side without connecting left and right.
     # Factor content is ~sum(sep^2), so thinner separators cut factor
-    # bytes (= single-stream HBM time, batched flops, upload) directly.
-    # Opt-in (FC_MF_TRIM=1): measured -13% content at both stock scales,
-    # but the restructured tree nudged the 235k 5-step f32 field error to
-    # 1.07e-3 (gate 1e-3) — ships together with the refinement-sweep
-    # package once validated, not alone.
-    import os as _os
-
-    trim_passes = 4 if _os.environ.get("FC_MF_TRIM", "0") == "1" else 0
+    # bytes (= single-stream HBM time, batched flops, upload) directly:
+    # measured -13/-14% content at the stock scales, and together with the
+    # 512-dof leaves it beats the canonical tree on BOTH bytes AND
+    # per-solve error (tools/mf_err_ab.py) — default ON.
     side = np.sign(level - s).astype(np.int8)  # -1 left, 0 sep, +1 right
     for _ in range(trim_passes):
         sep_loc = np.where(side == 0)[0]
@@ -178,8 +175,8 @@ def build_nd_tree(g, coords: np.ndarray, dofs: np.ndarray,
             return _Node(elim=np.sort(dofs), depth=depth)
     node = _Node(elim=np.sort(sep), depth=depth)
     node.children = [
-        build_nd_tree(g, coords, left, leaf_max, depth + 1),
-        build_nd_tree(g, coords, right, leaf_max, depth + 1),
+        build_nd_tree(g, coords, left, leaf_max, depth + 1, trim_passes),
+        build_nd_tree(g, coords, right, leaf_max, depth + 1, trim_passes),
     ]
     return node
 
@@ -246,13 +243,36 @@ class MultifrontalLU:
     sit inside scans/vmaps like the other solver kinds.
     """
 
-    def __init__(self, a_csr, coords: np.ndarray, leaf_max: int = 1536,
-                 dtype=jnp.float32, store_dtype=None, layout: str | None = None):
+    #: per-solve relative-error ceiling (measured by _measure_solve_err)
+    #: below which the f32 factors stay in the zero-refinement-sweep
+    #: trajectory class. Calibration (tools/mf_err_ab.py, 2026-08): the
+    #: canonical 235k tree probes at 4.87e-4 and is measured IN the
+    #: 5-step f32-vs-f64 trajectory gate (1.7e-4 field err vs 1e-3), as
+    #: are all trimmed/small-leaf variants (probe 1.56e-4..6.85e-4); the
+    #: ceiling sits above that cluster so a genuinely degraded tree
+    #: (order-of-magnitude worse probe) triggers the sweep.
+    ZERO_SWEEP_ERR = 8e-4
+
+    def __init__(self, a_csr, coords: np.ndarray, leaf_max: int | None = None,
+                 dtype=jnp.float32, store_dtype=None, layout: str | None = None,
+                 trim: bool | None = None, inbox: str | None = None):
         import os
 
         a_csr = a_csr.tocsr()
         n = a_csr.shape[0]
         self.n = n
+        # knob resolution: explicit argument > FC_* env var > default.
+        # Defaults are the measured winners. Host probe (tools/mf_err_ab.py,
+        # 2026-08): trimming cuts physical factor bytes 13/15% at leaf 1536
+        # (and 39/42% at leaf 512) at the 56k/235k stock meshes with
+        # per-solve error BETTER than the canonical tree. On-chip
+        # (tools/stock_tpu_bench.py, same session): trim+1536 beats both
+        # canonical AND trim+512 — 290.0 vs 285.6 vs 287.0 steps/s
+        # single-stream, 14036 vs 12984 vs 12012 agg batched B=256 —
+        # because below ~1536 the extra leaf nodes grow the inbox-gather
+        # traffic (near scalar speed) faster than the bytes shrink.
+        if leaf_max is None:
+            leaf_max = int(os.environ.get("FC_MF_LEAF_MAX", "1536"))
         # 'ij' = canonical stacks; 'ji' = stacks pre-transposed ON HOST so
         # the solve's dot_generals contract the leading (non-minor) dim —
         # an A/B knob for the observed XLA transpose-of-the-factor-stack
@@ -267,11 +287,10 @@ class MultifrontalLU:
         self.einsum = os.environ.get("FC_MF_EINSUM", "xla")
         if self.einsum not in ("xla", "pallas"):
             raise ValueError(f"einsum must be 'xla'|'pallas', got {self.einsum}")
-        # restructured trees (trimmed separators) measurably leave the
-        # zero-sweep accuracy class at 235k — recommend one refinement
-        # sweep so callers (core/stepper.py) stay in it automatically
-        self.trim = os.environ.get("FC_MF_TRIM", "0") == "1"
-        self.recommended_refine = 1 if self.trim else 0
+        if trim is None:
+            trim = os.environ.get("FC_MF_TRIM", "1") == "1"
+        self.trim = bool(trim)
+        self.leaf_max = int(leaf_max)
         t_all = time.time()
         np_store = np.dtype(
             jnp.dtype(store_dtype if store_dtype is not None else dtype).name
@@ -286,12 +305,10 @@ class MultifrontalLU:
         coords_digest = hashlib.sha256(
             np.ascontiguousarray(coords).tobytes()
         ).hexdigest()[:16]
-        # trimmed separators (FC_MF_TRIM=1) build a different tree than the
-        # canonical v4 ordering — distinct cache keys; untrimmed keeps the
-        # v4 key so existing warm caches stay valid
-        ver = ("multifrontal-v5t"
-               if os.environ.get("FC_MF_TRIM", "0") == "1"
-               else "multifrontal-v4")
+        # trimmed separators build a different tree than the canonical v4
+        # ordering — distinct cache keys; untrimmed keeps the v4 key so
+        # existing warm caches stay valid
+        ver = "multifrontal-v5t" if self.trim else "multifrontal-v4"
         key = fc_key(a_csr, ver, leaf_max, np_store.name, coords_digest)
         # knobs that shape the DERIVED (upload-ready) representation
         pack = os.environ.get("FC_MF_PACK", "dp")
@@ -301,7 +318,7 @@ class MultifrontalLU:
         # segmented inbox gathers (see _build_tables): 'split' sorts each
         # stage's nodes by inbox load so the gather tables shrink to the
         # real contribution count; 'full' keeps one max-kmax table/stage
-        self.inbox = os.environ.get("FC_MF_INBOX", "split")
+        self.inbox = inbox or os.environ.get("FC_MF_INBOX", "split")
         if self.inbox not in ("split", "full"):
             raise ValueError(f"FC_MF_INBOX must be 'split'|'full', "
                              f"got {self.inbox}")
@@ -309,10 +326,12 @@ class MultifrontalLU:
         # layout-final representation — a warm load is pure fread +
         # straight H2D, skipping ~35 s of host transforms at 235k dofs
         # (and 13% fewer bytes than the canonical payload after DP repack)
-        dkey = f"{key}-d1-{pack}-{lam_mb:g}-{self.inbox}-{self.layout}"
+        # d2: tile-physical (8,128) DP padding granularity
+        dkey = f"{key}-d2-{pack}-{lam_mb:g}-{self.inbox}-{self.layout}"
         dcached = fc_load(dkey)
         if dcached is not None and int(dcached["n"]) == n:
             tables, stacks = _decode_derived(dcached)
+            self.solve_err = float(dcached.get("solve_err", -1.0))
             logger.info("multifrontal: loaded derived (upload-ready) cache")
         else:
             cached = fc_load(key)
@@ -320,7 +339,8 @@ class MultifrontalLU:
                 payload = {k: v for k, v in cached.items()}
                 logger.info("multifrontal: loaded cached factors")
             else:
-                payload = self._factorize(a_csr, coords, leaf_max, np_store)
+                payload = self._factorize(a_csr, coords, leaf_max, np_store,
+                                          trim=self.trim)
                 fc_save(key, n=np.int64(n), **payload)
             # in-memory repack (disk format stays canonical): penalty-DP
             # grouping strictly dominates the fixed bucket grid — measured
@@ -332,9 +352,25 @@ class MultifrontalLU:
                 payload = _repack_dp(payload, n, lam_bytes=lam_mb * 2**20)
             if self.inbox == "split":
                 payload = _sort_nodes_by_inbox_load(payload, n)
+            self.solve_err = _measure_solve_err(a_csr, payload, n)
+            logger.info("multifrontal: measured per-solve error %.2e "
+                        "(store dtype %s)", self.solve_err, np_store.name)
             tables = self._build_tables(payload)
             stacks = self._layout_stacks(payload)
-            fc_save(dkey, n=np.int64(n), **_encode_derived(tables, stacks))
+            fc_save(dkey, n=np.int64(n),
+                    solve_err=np.float64(self.solve_err),
+                    **_encode_derived(tables, stacks))
+        # zero-sweep gate: host-f64 factors rounded to f32 on the canonical
+        # ordering sit in the "rounding-limited" trajectory class and need
+        # no refinement; restructured trees (trimmed separators, small
+        # leaves) can leave it. The class is decided by the MEASURED
+        # per-solve error (see _measure_solve_err), calibrated against the
+        # 5-step f32-vs-f64 trajectory gates at both stock scales.
+        self.recommended_refine = (
+            0 if 0 <= self.solve_err < self.ZERO_SWEEP_ERR
+            or np.dtype(np_store) == np.float64
+            else 1
+        )
         self._finalize_device(tables, stacks)
         logger.info(
             "multifrontal: ready in %.1fs — %d depths, factor %.2f GB",
@@ -346,11 +382,12 @@ class MultifrontalLU:
     # ── host factorization ──────────────────────────────────────────────────
 
     @staticmethod
-    def _factorize(a_csr, coords, leaf_max, np_store):
+    def _factorize(a_csr, coords, leaf_max, np_store, trim: bool = True):
         n = a_csr.shape[0]
         t0 = time.time()
         g = ((a_csr != 0) + (a_csr != 0).T).tocsr()
-        root = build_nd_tree(g, coords, np.arange(n), leaf_max=leaf_max)
+        root = build_nd_tree(g, coords, np.arange(n), leaf_max=leaf_max,
+                             trim_passes=4 if trim else 0)
         _merge_small_nodes(root)
         _set_depths(root)
         _annotate_boundaries(g, root)
@@ -812,6 +849,62 @@ def _round128(x: int) -> int:
     return max(128, -(-int(x) // 128) * 128)
 
 
+def _round8(x: int) -> int:
+    return max(8, -(-int(x) // 8) * 8)
+
+
+def _stage_phys_elems(m: int, e: int, b: int) -> int:
+    """Physical HBM elements of one stage's three f32 factor stacks under
+    the TPU (8, 128) tile layout: only the MINOR dim pads to 128; the
+    second-minor pads to 8. inv (m,e,e) -> e8*e128; ginv (m,e,b) ->
+    e8*b128; fbi (m,b,e) -> b8*e128. Single-stream solve time tracks
+    these PHYSICAL bytes (~400 GB/s marginal — tools/lam_ab.py), so the
+    DP groups and pads at tile granularity, not 128x128."""
+    e8, b8 = _round8(e), _round8(b)
+    e128, b128 = _round128(e), _round128(b)
+    return m * (e8 * e128 + e8 * b128 + b8 * e128)
+
+
+def _measure_solve_err(a_csr, payload: dict, n: int, n_rhs: int = 4) -> float:
+    """True-error probe of the rounded (store-dtype) factors, on host.
+
+    Runs the same forward/backward sweeps as the device solve in numpy
+    over the canonical payload for synthetic RHS b = A x_true and returns
+    the median relative error ||x - x_true|| / ||x_true||. The RESIDUAL
+    cannot rank factor orderings (measured at the 235k stock cavity:
+    trimmed and canonical trees both show 8.2e-5 raw residual, yet
+    1.32e-3 vs 1.7e-4 five-step f32 trajectory error) — the error's
+    direction matters, so the zero-sweep refinement recommendation is
+    gated on measured per-solve ERROR, not residual (see
+    MultifrontalLU.recommended_refine).
+    """
+    rng = np.random.default_rng(12345)
+    xt = rng.standard_normal((n, n_rhs))
+    xt /= np.linalg.norm(xt, axis=0, keepdims=True)
+    b = a_csr @ xt  # (n, n_rhs) f64
+    n_stages = len(payload["depth_order"])
+    dt32 = payload["inv_0"].dtype
+    bp = np.concatenate([b.astype(dt32), np.zeros((1, n_rhs), dt32)])
+    acc = np.zeros((n + 1, n_rhs), dtype=dt32)
+    zs = []
+    for di in range(n_stages):
+        elim = np.minimum(payload[f"elim_{di}"], n)  # (m, e_max) pad -> n
+        bd = np.minimum(payload[f"bd_{di}"], n)
+        xe = bp[elim] - acc[elim]  # (m, e_max, n_rhs)
+        z = np.einsum("mij,mjr->mir", payload[f"inv_{di}"], xe)
+        upd = np.einsum("mbi,mir->mbr", payload[f"fbi_{di}"], z)
+        np.add.at(acc, bd.reshape(-1), upd.reshape(-1, n_rhs))
+        zs.append(z)
+    xs = np.zeros((n + 1, n_rhs), dtype=dt32)
+    for di in reversed(range(n_stages)):
+        elim = np.minimum(payload[f"elim_{di}"], n)
+        bd = np.minimum(payload[f"bd_{di}"], n)
+        corr = np.einsum("mib,mbr->mir", payload[f"ginv_{di}"], xs[bd])
+        xs[elim.reshape(-1)] = (zs[di] - corr).reshape(-1, n_rhs)
+    err = np.linalg.norm(xs[:n] - xt, axis=0)
+    return float(np.median(err))
+
+
 def _repack_dp(payload: dict, n: int, lam_bytes: float) -> dict:
     """Regroup the per-depth node forests by a penalty-DP partition.
 
@@ -860,9 +953,9 @@ def _repack_dp(payload: dict, n: int, lam_bytes: float) -> dict:
             mb = 0
             for i in range(j - 1, -1, -1):
                 mb = max(mb, nb[i])
-                e_g = _round128(ne[j - 1])  # sorted: max elim in i..j-1
-                b_g = _round128(mb)
-                c = (j - i) * (e_g * e_g + 2 * e_g * b_g) + lam
+                # sorted: max elim in i..j-1 is ne[j-1]; cost = physical
+                # tile-padded bytes of the group's three stacks
+                c = _stage_phys_elems(j - i, ne[j - 1], mb) + lam
                 if best[i] + c < best[j]:
                     best[j] = best[i] + c
                     prev[j] = i
@@ -882,8 +975,12 @@ def _repack_dp(payload: dict, n: int, lam_bytes: float) -> dict:
     dt = payload["inv_0"].dtype
     for di, (dv, nodes) in enumerate(groups):
         m = len(nodes)
-        e_max = _round128(max(t[0] for t in nodes))
-        b_max = _round128(max(t[1] for t in nodes))
+        # logical stack dims pad only to the 8-granular second-minor tile
+        # boundary; the minor dim's 128-padding happens physically in HBM
+        # either way, so an explicit 128 here would only add bytes on the
+        # second-minor axis (see _stage_phys_elems)
+        e_max = _round8(max(t[0] for t in nodes))
+        b_max = _round8(max(t[1] for t in nodes))
         elim_idx = np.full((m, e_max), n, dtype=np.int64)
         bd_idx = np.full((m, b_max), n, dtype=np.int64)
         inv = np.zeros((m, e_max, e_max), dtype=dt)
@@ -900,14 +997,23 @@ def _repack_dp(payload: dict, n: int, lam_bytes: float) -> dict:
         out[f"inv_{di}"] = inv
         out[f"ginv_{di}"] = giv
         out[f"fbi_{di}"] = fbi
+    phys = sum(
+        _stage_phys_elems(
+            out[f"inv_{d}"].shape[0], out[f"inv_{d}"].shape[1],
+            out[f"ginv_{d}"].shape[2],
+        ) * itemsize
+        for d in range(len(groups))
+    )
     logger.info(
-        "multifrontal: dp repack %d -> %d stages, %.2f -> %.2f GB padded",
+        "multifrontal: dp repack %d -> %d stages, %.2f -> %.2f GB padded "
+        "(%.2f GB physical w/ HBM tile pad)",
         len(depths), len(groups),
         sum(payload[f"inv_{d}"].nbytes + payload[f"ginv_{d}"].nbytes
             + payload[f"fbi_{d}"].nbytes for d in range(len(depths)))
         / 2**30,
         sum(out[f"inv_{d}"].nbytes + out[f"ginv_{d}"].nbytes
             + out[f"fbi_{d}"].nbytes for d in range(len(groups))) / 2**30,
+        phys / 2**30,
     )
     return out
 
