@@ -115,3 +115,47 @@ def test_shard_stepper_distributes_direct_solve(tmp_path, monkeypatch):
     x = np.asarray(fs2.fields.up_)
     assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-10
     assert np.allclose(y, y_ref, rtol=1e-9, atol=1e-12)
+
+
+def test_shard_stepper_composes_with_hot_order(tmp_path, monkeypatch):
+    """The fastest single-chip layout (hot dof order: zero-permute banded +
+    windowed applies, core/stepper.py hot_order) must be the one that
+    shards: the sharded appliers renumber their connectivity through the
+    hot permutation and the distributed multifrontal solve inherits the
+    composed perm/ipos. Trajectory agreement vs the MESH-ORDER unsharded
+    stepper proves the composition end-to-end."""
+    from flowcontrol_tpu.models.lidcavity import LidCavityFlowSolver
+    from flowcontrol_tpu.parallel.sharding import shard_stepper
+
+    monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
+
+    def build(opts):
+        fs = LidCavityFlowSolver.make_default(
+            Re=500, num_steps=3, verbose=0, n_mesh=12,
+            path_out=tmp_path / "out",
+            solver_backend="dense_lu", precision="f64",
+            stepper_options=dict(opts, force_substructure=True),
+        )
+        fs.compute_steady_state(u_ctrl=[0.0], method="picard", max_iter=3)
+        fs.initialize_time_stepping()
+        fs.stepper
+        return fs
+
+    fs = build({})
+    for _ in range(3):
+        y_ref = fs.step(np.array([0.01]))
+    x_ref = np.asarray(fs.fields.up_)
+
+    hot_opts = {
+        "banded_operators": True, "windowed_nl": "onehot",
+        "dense_operators": False, "hot_order": True,
+    }
+    fs2 = build(hot_opts)
+    assert fs2._stepper._hot_src is not None, "hot order did not engage"
+    shard_stepper(fs2._stepper, _mesh(4), axis="space")
+    assert fs2._stepper._solve_hooks, "sharded solver not installed"
+    for _ in range(3):
+        y = fs2.step(np.array([0.01]))
+    x = np.asarray(fs2.fields.up_)
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-10
+    assert np.allclose(y, y_ref, rtol=1e-9, atol=1e-12)
