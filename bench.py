@@ -306,66 +306,57 @@ def bench_cavity(platform: str) -> dict | None:
     }
 
 
-def _accel_probe(timeout_s: float) -> str | None:
-    """Run a tiny jitted op end-to-end in a SUBPROCESS with a deadline.
-
-    Returns None when the accelerator answered, else a reason string.
-    Probing in-process is not enough: the axon TPU relay has a half-up
-    failure mode where ``jax.devices()`` returns instantly but every
-    compile/execute RPC blocks forever (observed 2026-08-20), which would
-    wedge the bench harness with no record emitted. A subprocess both
-    bounds the hang and keeps this process free of a poisoned backend.
-    """
-    import subprocess
-
-    code = (
-        "import jax, jax.numpy as jnp;"
-        "print(float(jax.jit(lambda: (jnp.ones((128, 128))"
-        " @ jnp.ones((128, 128))).sum())()))"
-    )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s,
-            capture_output=True, text=True,
-        )
-    except subprocess.TimeoutExpired:
-        return (f"tiny-op probe timed out after {timeout_s:.0f}s — "
-                "TPU relay tunnel unreachable or wedged")
-    if r.returncode != 0:
-        tail = (r.stderr or "").strip().splitlines()[-1:] or ["no stderr"]
-        return f"tiny-op probe failed: {tail[0]}"
-    return None
+def _last_measured() -> dict | None:
+    """Most recent prior driver-captured numbers, read from the newest
+    BENCH_r*.json next to this file that carries a real measurement —
+    context for a SKIPPED record (never hardcoded in source; they would
+    silently go stale)."""
+    best = None
+    for p in sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json")):
+        try:
+            d = json.loads(p.read_text())
+            tail = d.get("tail", "")
+            rec = json.loads(tail) if tail.strip().startswith("{") else d
+            if float(rec.get("value", 0.0)) > 0.0:
+                best = {"source": p.name, **{
+                    k: rec[k] for k in (
+                        "value", "vs_baseline", "single_steps_per_sec",
+                        "single_vs_cpu", "batched_agg_steps_per_sec",
+                        "cavity_235k",
+                    ) if k in rec
+                }}
+        except Exception:
+            continue
+    return best
 
 
 def main():
-    # Bounded end-to-end backend probe (subprocess): relay outages make
-    # either jax.devices() or the first compile/execute block FOREVER.
-    # On failure emit an honest SKIPPED record instead of hanging.
-    reason = _accel_probe(float(os.environ.get("BENCH_INIT_TIMEOUT_S", "900")))
-    if reason is not None:
-        print(json.dumps({
+    # Bounded end-to-end backend probe (subprocess, retried with backoff):
+    # relay outages make either jax.devices() or the first compile/execute
+    # block FOREVER, and often recover within minutes. On exhausted budget
+    # emit an honest SKIPPED record instead of hanging.
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from flowcontrol_tpu.utils.accel_probe import probe_with_backoff
+
+    plat, reason = probe_with_backoff(
+        float(os.environ.get("BENCH_INIT_TIMEOUT_S", "900")),
+        log=lambda m: print(f"# {m}", file=sys.stderr),
+    )
+    if plat is None:
+        rec = {
             "metric": "cylinder_re100_steps_per_sec",
             "value": 0.0,
             "unit": (f"SKIPPED: accelerator backend init did not complete "
                      f"({reason}); no measurement taken"),
             "vs_baseline": 0.0,
-            # context only — the most recent on-chip numbers this bench
-            # produced before the relay outage (NOT this run's result)
-            "last_measured": {
-                "date": "2026-08-19",
-                "stock_56k": {
-                    "single_steps_per_sec": 319.7, "single_vs_cpu": 45.4,
-                    "batched_agg_steps_per_sec": 10040, "batched_B": 512,
-                    "setup_compile_s": 6,
-                },
-                "cavity_235k": {
-                    "single_steps_per_sec": 58.1, "single_vs_cpu": 30.5,
-                    "batched_agg_steps_per_sec": 353, "batched_B": 16,
-                    "prepare_s": 231,
-                },
-            },
-        }))
+        }
+        lm = _last_measured()
+        if lm is not None:
+            # context only — NOT this run's result
+            rec["last_measured"] = lm
+        print(json.dumps(rec))
         return
+    print(f"# accel probe: platform={plat}", file=sys.stderr)
 
     import jax
 
@@ -388,45 +379,60 @@ def main():
     )
     get_base_flow(fs)
 
+    t_leg = time.time()
     cpu_sps = bench_cpu(fs)
-    print(f"# cpu baseline (splu, same mesh): {cpu_sps:.2f} steps/s", file=sys.stderr)
+    print(f"# cpu baseline (splu, same mesh): {cpu_sps:.2f} steps/s "
+          f"[leg {time.time() - t_leg:.0f}s]", file=sys.stderr)
 
-    res = bench_tpu(fs)
+    # per-leg isolation (round-3 verdict: one hung/failed leg must not
+    # zero the whole round) — the cylinder leg and the cavity leg each
+    # get their own guard, and whatever succeeded is emitted
+    t_leg = time.time()
+    try:
+        res = bench_tpu(fs)
+    except Exception as e:
+        print(f"# cylinder TPU leg failed: {e}", file=sys.stderr)
+        res = {"single": None, "batched": None, "closed": None,
+               "compile_s": None}
+    print(f"# cylinder TPU leg: {time.time() - t_leg:.0f}s", file=sys.stderr)
     if os.environ.get("BENCH_CAVITY", "1") != "0":
+        t_leg = time.time()
         try:
             res["cavity"] = bench_cavity(platform)
         except Exception as e:
             print(f"# cavity leg failed: {e}", file=sys.stderr)
             res["cavity"] = None
+        print(f"# cavity leg: {time.time() - t_leg:.0f}s", file=sys.stderr)
     print(
-        f"# tpu ({platform}, {backend}): {res['single']:.1f} steps/s single, "
+        f"# tpu ({platform}, {backend}): {res['single']} steps/s single, "
         f"{res['batched'] and round(res['batched'])} agg steps/s batched "
         f"(B={BENCH_BATCH}), "
         f"{res['closed'] and round(res['closed'])} agg steps/s closed-loop "
-        f"(B=256), setup+compile {res['compile_s']:.0f}s",
+        f"(B=256), setup+compile {res['compile_s']}s",
         file=sys.stderr,
     )
-    value = res["single"]
-    for key in ("batched", "closed"):
-        if res[key]:
-            value = max(value, res[key])
+    # headline value/vs_baseline = SINGLE-STREAM throughput: the mode the
+    # reference's own workflows run and the north-star axis (>=50x CPU,
+    # BASELINE.md). Batched/closed-loop aggregates are first-class sibling
+    # fields, not the headline (round-3 verdict weak #5).
+    single = res["single"] or 0.0
     out = {
         "metric": "cylinder_re100_steps_per_sec",
-        "value": round(value, 1),
+        "value": round(single, 1),
         "unit": (
-            f"agg steps/s, best mode (n_dofs={fs.space.n_dofs}, dt=0.005, "
-            f"BDF2+AB2, cpu_same_mesh={cpu_sps:.1f}/s)"
+            f"single-stream steps/s (n_dofs={fs.space.n_dofs}, dt=0.005, "
+            f"BDF2+AB2, cpu_same_mesh={cpu_sps:.1f}/s; batched/closed-loop "
+            f"aggregates in sibling fields)"
         ),
-        "vs_baseline": round(value / cpu_sps, 1),
-        # first-class per-mode numbers (the single-stream figure is the mode
-        # the reference's own workflows run; batched is the synthesis mode)
-        "single_steps_per_sec": round(res["single"], 1),
-        "single_vs_cpu": round(res["single"] / cpu_sps, 1),
+        "vs_baseline": round(single / cpu_sps, 1),
+        "single_steps_per_sec": round(single, 1),
+        "single_vs_cpu": round(single / cpu_sps, 1),
         "batched_agg_steps_per_sec": res["batched"] and round(res["batched"], 1),
         "batched_B": BENCH_BATCH,
+        "batched_vs_cpu": res["batched"] and round(res["batched"] / cpu_sps, 1),
         "closed_loop_agg_steps_per_sec": res["closed"] and round(res["closed"], 1),
         "closed_loop_B": 256,
-        "setup_compile_s": round(res["compile_s"], 1),
+        "setup_compile_s": res["compile_s"] and round(res["compile_s"], 1),
         "cpu_steps_per_sec": round(cpu_sps, 2),
         "n_dofs": fs.space.n_dofs,
     }
