@@ -212,23 +212,33 @@ class PinballFlowSolver(FlowSolver):
         d = params_flow.user_data["D"]
         position_mid = [-1.5 * np.cos(np.pi / 6), 0.0]
         position_top = [0.0, +0.75]
+        # boundary_name links each actuator to its _make_boundaries entry
+        # (needed by OperatorGetter.get_B's BC lifting — mirrors the
+        # reference's ActuatorBC boundary resolution, ref: actuator.py:108-169)
+        names = ("actuator_mid", "actuator_top", "actuator_bot")
         if mode_actuation == CYLINDER_ACTUATION_MODE.SUCTION:
             width = ActuatorBCParabolicV.angular_size_deg_to_width(10, d / 2)
             actuator_list = [
-                ActuatorBCParabolicV(width=width, position_x=position_mid[0]),
-                ActuatorBCParabolicV(width=width, position_x=position_top[0]),
-                ActuatorBCParabolicV(width=width, position_x=position_top[0]),
+                ActuatorBCParabolicV(width=width, position_x=position_mid[0],
+                                     boundary_name=names[0]),
+                ActuatorBCParabolicV(width=width, position_x=position_top[0],
+                                     boundary_name=names[1]),
+                ActuatorBCParabolicV(width=width, position_x=position_top[0],
+                                     boundary_name=names[2]),
             ]
         else:
             actuator_list = [
                 ActuatorBCRotation(
-                    position_x=position_mid[0], position_y=position_mid[1], diameter=d
+                    position_x=position_mid[0], position_y=position_mid[1],
+                    diameter=d, boundary_name=names[0],
                 ),
                 ActuatorBCRotation(
-                    position_x=position_top[0], position_y=+position_top[1], diameter=d
+                    position_x=position_top[0], position_y=+position_top[1],
+                    diameter=d, boundary_name=names[1],
                 ),
                 ActuatorBCRotation(
-                    position_x=position_top[0], position_y=-position_top[1], diameter=d
+                    position_x=position_top[0], position_y=-position_top[1],
+                    diameter=d, boundary_name=names[2],
                 ),
             ]
         params_control = fsp.ParamControl(

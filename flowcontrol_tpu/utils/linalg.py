@@ -267,3 +267,90 @@ def eigenproblem_slepc(a, e=None, n: int = 10, sigma: complex = 0.0,
     e = sp.identity(a.shape[0], format="csr") if e is None else sp.csr_matrix(e)
     return get_mat_vp_shift_invert(a, e, n=n, sigma=sigma,
                                    return_vectors=return_vectors)
+
+
+def modal_rom(a_csr, e_csr, b, c, shifts=(0.0 + 0.75j,), k_per_shift: int = 6,
+              re_min: float = -1.0, pair_tol: float = 1e-6):
+    """Real modal (Petrov-Galerkin) reduced-order model of Eẋ = Ax + Bu,
+    y = Cx from biorthogonal eigenpairs near the given shifts.
+
+    For each right pair (λ, v) of A x = λ E x the matching LEFT vector w
+    (wᴴA = λ wᴴ) is the conjugated eigenvector of (Aᵀ, Eᵀ) at λ̄; scaling
+    wᴴE v = 1 makes the modal coordinates exactly decoupled, so the ROM
+    is block-diagonal by construction — no QR projection whose
+    near-singular Er manufactures spurious unstable eigenvalues (observed:
+    a max-Re 9.07 artifact on a pinball ROM built by orthonormalized-basis
+    projection). Complex pairs realify to [[σ, ω], [-ω, σ]] blocks with
+    B_k = [Re(wᴴB); Im(wᴴB)], C_k = 2[Cv_r, -Cv_i].
+
+    This is the reduced-model step the reference performs offline in
+    Matlab (ref: src/examples/cylinder/data_input/sysid_o16_d=3_ssest.mat
+    is such a fitted ROM) — here derived directly from the exported
+    operators. Returns (StateSpace, kept_eigenvalues).
+    """
+    import scipy.sparse as _sp
+
+    a_csr = _sp.csr_matrix(a_csr)
+    e_csr = _sp.csr_matrix(e_csr)
+    b = np.atleast_2d(np.asarray(b, dtype=float))
+    if b.shape[0] != a_csr.shape[0]:
+        b = b.T
+    c = np.atleast_2d(np.asarray(c, dtype=float))
+    at, et = a_csr.T.tocsr(), e_csr.T.tocsr()
+
+    rights, lefts = [], []
+    for s in shifts:
+        vals, vecs = get_mat_vp_shift_invert(a_csr, e_csr, n=k_per_shift,
+                                             sigma=s)
+        rights += [(vals[i], vecs[:, i]) for i in range(len(vals))]
+        avals, avecs = get_mat_vp_shift_invert(at, et, n=k_per_shift,
+                                               sigma=np.conj(s))
+        lefts += [(avals[i], avecs[:, i]) for i in range(len(avals))]
+
+    blocks_a, blocks_b, blocks_c, kept = [], [], [], []
+    for lam, v in rights:
+        if lam.real < re_min or lam.imag < -pair_tol:
+            continue  # keep one of each conjugate pair, drop deep-damped
+        if any(abs(lam - k) < 1e-6 * max(1.0, abs(lam)) for k in kept):
+            continue  # dedup across shifts
+        # matching left vector: wᴴA = λwᴴE ⇔ Aᵀw = λ̄ Eᵀw (A, E real), so
+        # the left vector at λ IS the (Aᵀ, Eᵀ) eigenvector at λ̄ — no
+        # conjugation (conjugating pairs it with the wrong eigenvalue and
+        # biorthogonality zeroes every wᴴEv)
+        errs = [abs(al - np.conj(lam)) for al, _ in lefts]
+        j = int(np.argmin(errs))
+        if errs[j] > pair_tol * max(1.0, abs(lam)):
+            continue
+        w = lefts[j][1]
+        scale = w.conj() @ (e_csr @ v)
+        if abs(scale) < 1e-10:
+            continue  # defective/unmatched pair
+        w = w / np.conj(scale)  # now wᴴ E v = 1
+        beta = w.conj() @ b  # (m,) or (m_act,) rows
+        cv = c @ v
+        if abs(lam.imag) <= pair_tol:  # real mode: 1x1 block
+            blocks_a.append(np.array([[lam.real]]))
+            blocks_b.append(np.atleast_2d(beta.real))
+            blocks_c.append(np.atleast_2d(cv.real).T)
+        else:
+            # residue algebra: H_pair(s) = R/(s-λ) + R̄/(s-λ̄) with
+            # R = (Cv)(wᴴB) equals the real block below exactly
+            # (= 2[(s-σ)Re R - ω Im R]/((s-σ)² + ω²))
+            sg, om = lam.real, lam.imag
+            blocks_a.append(np.array([[sg, -om], [om, sg]]))
+            blocks_b.append(np.vstack([beta.real, beta.imag]))
+            blocks_c.append(np.column_stack([2 * cv.real, -2 * cv.imag]))
+        kept.append(lam)
+    if not blocks_a:
+        raise ValueError("modal_rom: no usable eigenpairs near the shifts")
+    import scipy.linalg as _sla
+
+    ar = _sla.block_diag(*blocks_a)
+    br = np.vstack(blocks_b)
+    cr = np.hstack(blocks_c)
+    from flowcontrol_tpu.utils.statespace import StateSpace
+
+    return (
+        StateSpace(ar, br, cr, np.zeros((cr.shape[0], br.shape[1]))),
+        np.asarray(kept),
+    )

@@ -101,3 +101,77 @@ def test_arnoldi_dense_tpu_matches_host():
 def test_dense_to_sparse():
     m = dense_to_sparse(np.array([[1.0, 0.0], [0.0, 2.0]]))
     assert m.nnz == 2
+
+
+def test_modal_rom_block_realification_exact():
+    """A single complex pair's real 2x2 block realization reproduces the
+    residue sum R/(s-λ) + R̄/(s-λ̄) exactly (the algebra modal_rom uses)."""
+    import scipy.linalg as sla
+
+    from flowcontrol_tpu.utils.linalg import modal_rom  # noqa: F401 (API)
+
+    rng = np.random.default_rng(0)
+    A0 = np.array([[-0.1, 0.8], [-0.8, -0.1]])
+    S = rng.standard_normal((2, 2)) + 2 * np.eye(2)
+    A = S @ A0 @ np.linalg.inv(S)
+    E = np.eye(2)
+    b = rng.standard_normal((2, 1))
+    c = rng.standard_normal((1, 2))
+    lam_all, V = sla.eig(A)
+    lam_l, W = sla.eig(A.T)
+    i = int(np.argmax(lam_all.imag))
+    lam, v = lam_all[i], V[:, i]
+    j = int(np.argmin(np.abs(lam_l - np.conj(lam))))
+    w = W[:, j]
+    w = w / np.conj(w.conj() @ (E @ v))
+    beta = w.conj() @ b
+    cv = c @ v
+    sg, om = lam.real, lam.imag
+    Ak = np.array([[sg, -om], [om, sg]])
+    Bk = np.vstack([beta.real, beta.imag])
+    Ck = np.column_stack([2 * cv.real, -2 * cv.imag])
+    for wq in (0.3, 0.8, 2.0):
+        s = 1j * wq
+        Hf = c @ np.linalg.solve(s * E - A, b)
+        Hr = Ck @ np.linalg.solve(s * np.eye(2) - Ak, Bk)
+        assert np.abs(Hf - Hr).max() < 1e-12 * max(1.0, np.abs(Hf).max())
+
+
+def test_modal_rom_recovers_dominant_modes():
+    """modal_rom on a synthetic descriptor system recovers exactly the
+    prescribed dominant eigenvalues (biorthogonal pairing + dedup across
+    shifts) and realifies them into a stable block-diagonal ROM."""
+    import scipy.linalg as sla
+    import scipy.sparse as sp
+
+    from flowcontrol_tpu.utils.linalg import modal_rom
+
+    rng = np.random.default_rng(3)
+    blocks = [np.array([[-0.1, 0.8], [-0.8, -0.1]]),
+              np.array([[-0.3, 1.5], [-1.5, -0.3]]),
+              np.array([[-0.05, 0.4], [-0.4, -0.05]]),
+              np.array([[-0.2]])]
+    for k in range(15):
+        blocks.append(np.array([[-5.0 - k]]))
+    a0 = sla.block_diag(*blocks)
+    n = a0.shape[0]
+    V = rng.standard_normal((n, n)) + 3 * np.eye(n)
+    M = rng.standard_normal((n, n))
+    E = M @ M.T + n * np.eye(n)  # SPD (ARPACK generalized-mode requirement)
+    A = E @ (V @ a0 @ np.linalg.inv(V))
+    b = rng.standard_normal((n, 2))
+    c = rng.standard_normal((2, n))
+    rom, kept = modal_rom(
+        sp.csr_matrix(A), sp.csr_matrix(E), b, c,
+        shifts=[0 + 0.8j, 0 + 1.5j, 0 + 0.4j, 0 + 0j], k_per_shift=4,
+        re_min=-1.0,
+    )
+    expect = np.array([-0.3 + 1.5j, -0.2 + 0j, -0.1 + 0.8j, -0.05 + 0.4j])
+    got = np.sort_complex(np.asarray(kept))
+    assert len(got) == 4, got
+    assert np.allclose(np.sort_complex(expect), got, atol=1e-7), got
+    rom_eigs = np.linalg.eigvals(rom.A)
+    assert rom_eigs.real.max() < 0
+    # every kept λ (and conjugate) appears in the ROM spectrum
+    for lam in kept:
+        assert np.abs(rom_eigs - lam).min() < 1e-7
