@@ -116,3 +116,119 @@ def test_stock_lidcavity_regression(tmp_path):
     # note above): measured agreement 1.2e-4 relative, just past the
     # reference's self-regression rtol=1e-4.
     assert np.isclose(last["dE"], _LC_DE, rtol=3e-4), last["dE"]
+
+
+# ── Production-path (dense_lu/f32 multifrontal) parity ──────────────────────
+# The cylinder and cavity each pin constants through the accelerator path
+# (test_stock_parity.py:230-298); these two do the same for the remaining
+# flows, so every benchmark's pinned constants are asserted through the
+# path BENCH actually runs (round-3 verdict missing #3).
+
+_BASEFLOWS = Path(__file__).resolve().parents[2] / \
+    "flowcontrol_tpu" / "models" / "_baseflows"
+
+
+@pytest.fixture(scope="module")
+def stock_pinball_base_flow(tmp_path_factory):
+    """Stock-mesh pinball base flow at Re=30 (committed artifact when
+    present — tools/pinball_mimo_synth.py caches it — else computed)."""
+    from flowcontrol_tpu.core.actuator import CYLINDER_ACTUATION_MODE
+    from flowcontrol_tpu.models.pinball import PinballFlowSolver
+
+    fs = PinballFlowSolver.make_default(
+        Re=30, mode_actuation=CYLINDER_ACTUATION_MODE.SUCTION,
+        path_out=tmp_path_factory.mktemp("pb_base"), num_steps=1,
+        save_every=0, meshpath=PINBALL_MESH,
+        solver_backend="host_lu", precision="f64",
+    )
+    art = _BASEFLOWS / f"pinball_re30_n{fs.space.n_dofs}.npz"
+    if art.exists():
+        d = np.load(art)
+        return d["U0"], d["P0"]
+    u0_ctrl = [0.0, 0.0, 0.0]
+    fs.compute_steady_state(method="picard", max_iter=15, tol=1e-7,
+                            u_ctrl=u0_ctrl)
+    fs.compute_steady_state(method="newton", max_iter=10, u_ctrl=u0_ctrl,
+                            initial_guess=fs.fields.UP0)
+    return fs.fields.U0.copy(), fs.fields.P0.copy()
+
+
+@pytest.mark.heavy
+def test_stock_pinball_tpu_path_parity(stock_pinball_base_flow, tmp_path):
+    """Pinball stock regression constants through the production
+    dense_lu/f32 (multifrontal) path, plus agreement with host_lu/f64
+    (ref constants: tests/integration/test_pinball.py:59-65)."""
+    from flowcontrol_tpu.core.actuator import CYLINDER_ACTUATION_MODE
+    from flowcontrol_tpu.models.pinball import PinballFlowSolver
+
+    u0, p0 = stock_pinball_base_flow
+
+    def run(backend, precision):
+        fs = PinballFlowSolver.make_default(
+            Re=30, mode_actuation=CYLINDER_ACTUATION_MODE.SUCTION,
+            path_out=tmp_path / backend, num_steps=10, save_every=0,
+            meshpath=PINBALL_MESH, solver_backend=backend,
+            precision=precision,
+        )
+        fs._assign_steady_state(u0.copy(), p0.copy())
+        fs.initialize_time_stepping(ic=None)
+        for _ in range(10):
+            fs.step(u_ctrl=[0.0, 0.0, 0.0])
+        fs.write_timeseries()
+        return fs
+
+    fs32 = run("dense_lu", "f32")
+    last = fs32.timeseries.iloc[-1]
+    u_full = (fs32.fields.u_n + fs32.fields.U0).reshape(-1)
+    assert np.isclose(u_full.max(), _PB_U_MAX, rtol=1e-3), u_full.max()
+    assert np.isclose(last["y_meas_1"], _PB_Y1, rtol=1e-3), last["y_meas_1"]
+    assert np.isclose(last["dE"], _PB_DE, rtol=1e-3), last["dE"]
+
+    fs64 = run("host_lu", "f64")
+    dx = np.linalg.norm(fs32.fields.up_ - fs64.fields.up_)
+    dx /= np.linalg.norm(fs64.fields.up_)
+    assert dx < 1e-3, f"field rel err {dx:.2e}"
+
+
+@pytest.mark.heavy
+def test_stock_lidcavity_tpu_path_parity(tmp_path):
+    """Lid-cavity stock regression constants through the production
+    dense_lu/f32 path, plus agreement with host_lu/f64
+    (ref constants: tests/integration/test_lidcavity.py:47-54)."""
+    from flowcontrol_tpu.models.lidcavity import LidCavityFlowSolver
+
+    base = LidCavityFlowSolver.make_default(
+        Re=1000, meshpath=LIDCAVITY_MESH, num_steps=1, save_every=0,
+        path_out=tmp_path / "base", solver_backend="host_lu",
+        precision="f64",
+    )
+    base.compute_steady_state(method="picard", max_iter=10, tol=1e-8,
+                              u_ctrl=[0.0])
+    base.compute_steady_state(method="newton", max_iter=10, u_ctrl=[0.0],
+                              initial_guess=base.fields.UP0)
+    u0, p0 = base.fields.U0.copy(), base.fields.P0.copy()
+
+    def run(backend, precision):
+        fs = LidCavityFlowSolver.make_default(
+            Re=1000, meshpath=LIDCAVITY_MESH, num_steps=10, save_every=0,
+            path_out=tmp_path / backend, solver_backend=backend,
+            precision=precision,
+        )
+        fs._assign_steady_state(u0.copy(), p0.copy())
+        fs.initialize_time_stepping(ic=None)
+        for _ in range(10):
+            fs.step(u_ctrl=[0.0])
+        fs.write_timeseries()
+        return fs
+
+    fs32 = run("dense_lu", "f32")
+    last = fs32.timeseries.iloc[-1]
+    assert np.isclose(last["time"], _LC_TIME, rtol=1e-6)
+    assert np.isclose(last["y_meas_1"], _LC_Y1, rtol=1e-3), last["y_meas_1"]
+    assert np.isclose(last["y_meas_2"], _LC_Y2, rtol=1e-3), last["y_meas_2"]
+    assert np.isclose(last["dE"], _LC_DE, rtol=1e-3), last["dE"]
+
+    fs64 = run("host_lu", "f64")
+    dx = np.linalg.norm(fs32.fields.up_ - fs64.fields.up_)
+    dx /= np.linalg.norm(fs64.fields.up_)
+    assert dx < 1e-3, f"field rel err {dx:.2e}"
