@@ -1,0 +1,99 @@
+"""Fluidic pinball with MIMO closed-loop rotation feedback.
+
+The genuinely MIMO workflow in the target list (BASELINE.json config #4):
+three independently-rotating cylinders driven by an LQG controller fed by
+three downstream V-sensors. The controller artifact is synthesized from
+the stock-mesh operators by ``tools/pinball_mimo_synth.py`` (modal ROM +
+LQG, all first-party); this script deploys it in closed loop and compares
+the perturbation-energy decay against the open-loop run.
+
+The reference ships a pinball controller .mat it never exercises
+(ref: src/examples/pinball/data_input/Kdx8dy0p0.mat); its run scripts are
+open-loop schedules (ref: run_pinball_rotation_example.py:100-112). This
+closes that loop.
+
+Usage:
+    python examples/run_pinball_feedback.py [--steps 400] [--open-loop]
+"""
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+from flowcontrol_tpu.core.actuator import CYLINDER_ACTUATION_MODE
+from flowcontrol_tpu.core.controller import Controller
+from flowcontrol_tpu.models.pinball import PinballFlowSolver
+
+logging.basicConfig(level=logging.INFO)
+log = logging.getLogger("pinball_feedback")
+
+STOCK = Path("/root/reference/src/examples/pinball/data_input/mesh_middle_gmsh.xdmf")
+PKG = Path(__file__).resolve().parents[1] / "flowcontrol_tpu" / "models"
+RE = 30.0
+
+
+def main(num_steps: int = 400, closed_loop: bool = True):
+    kw = dict(meshpath=STOCK) if STOCK.exists() else dict(
+        mesh_kwargs=dict(n1=2.0, n2=1.2, n3=0.5, segments=32, xinf=14.0)
+    )
+    fs = PinballFlowSolver.make_default(
+        Re=RE, num_steps=num_steps, save_every=0, verbose=10,
+        mode_actuation=CYLINDER_ACTUATION_MODE.ROTATION,
+        path_out=Path.cwd() / "data_output_pinball_feedback",
+        **kw,
+    )
+    # a small downstream div-free perturbation so there is something to
+    # reject (the default ParamIC's unit-amplitude bump is disturbance-
+    # rejection at the nonlinear scale; feedback is linear-regime)
+    fs.params_ic.xloc, fs.params_ic.yloc = 1.0, 0.0
+    fs.params_ic.radius, fs.params_ic.amplitude = 0.6, 0.01
+    base = PKG / "_baseflows" / f"pinball_re{RE:g}_n{fs.space.n_dofs}.npz"
+    if base.exists():
+        d = np.load(base)
+        fs._assign_steady_state(d["U0"], d["P0"])
+        log.info("loaded committed base flow %s", base.name)
+    else:
+        fs.compute_steady_state(method="picard", max_iter=15, tol=1e-7,
+                                u_ctrl=[0.0] * 3)
+        fs.compute_steady_state(method="newton", max_iter=10,
+                                u_ctrl=[0.0] * 3,
+                                initial_guess=fs.fields.UP0)
+    fs.initialize_time_stepping()
+
+    kpath = PKG / "_controllers" / f"pinball_lqg_re{RE:g}.mat"
+    if closed_loop and not kpath.exists():
+        raise SystemExit(
+            f"{kpath} missing — run tools/pinball_mimo_synth.py first"
+        )
+    K = Controller.from_file(kpath) if closed_loop else None
+
+    dt = fs.params_time.dt
+    for _ in range(num_steps):
+        if K is not None:
+            u_ctrl = K.step(y=-np.asarray(fs.y_meas), dt=dt)  # u = K(-y)
+        else:
+            u_ctrl = np.zeros(3)
+        fs.step(u_ctrl=np.asarray(u_ctrl).reshape(-1))
+    fs.write_timeseries()
+
+    ts = fs.timeseries
+    dE = ts["dE"].to_numpy()
+    log.info("mode=%s  dE: start %.3e  peak %.3e  end %.3e",
+             "closed" if closed_loop else "open", dE[0], dE.max(), dE[-1])
+    print(f"{'closed' if closed_loop else 'open'}-loop: "
+          f"dE_end={dE[-1]:.4e} dE_peak={dE.max():.4e} "
+          f"y_last={np.asarray(fs.y_meas).round(6)}")
+    return ts
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--open-loop", action="store_true")
+    args = ap.parse_args()
+    main(num_steps=args.steps, closed_loop=not args.open_loop)

@@ -232,3 +232,53 @@ def test_stock_lidcavity_tpu_path_parity(tmp_path):
     dx = np.linalg.norm(fs32.fields.up_ - fs64.fields.up_)
     dx /= np.linalg.norm(fs64.fields.up_)
     assert dx < 1e-3, f"field rel err {dx:.2e}"
+
+
+# ── MIMO closed-loop feedback (BASELINE.json config #4) ─────────────────────
+
+_CONTROLLERS = _BASEFLOWS.parent / "_controllers"
+
+
+@pytest.mark.heavy
+@pytest.mark.skipif(
+    not (_CONTROLLERS / "pinball_lqg_re30.mat").exists(),
+    reason="controller artifact not synthesized (tools/pinball_mimo_synth.py)",
+)
+def test_stock_pinball_mimo_feedback(stock_pinball_base_flow, tmp_path):
+    """3-actuator rotation feedback on the stock pinball mesh: the MIMO
+    LQG synthesized by tools/pinball_mimo_synth.py (modal ROM + first-
+    party lqg_regulator) runs in closed loop through the production
+    dense_lu/f32 path. Asserts the loop is healthy (finite, nonzero MIMO
+    control activity, bounded energy) and that after the 10-step horizon
+    the controller state actually moved — the workflow the reference
+    ships an artifact for but never exercises (ref:
+    src/examples/pinball/data_input/Kdx8dy0p0.mat, grep: unused)."""
+    from flowcontrol_tpu.core.actuator import CYLINDER_ACTUATION_MODE
+    from flowcontrol_tpu.core.controller import Controller
+    from flowcontrol_tpu.models.pinball import PinballFlowSolver
+
+    u0, p0 = stock_pinball_base_flow
+    fs = PinballFlowSolver.make_default(
+        Re=30, mode_actuation=CYLINDER_ACTUATION_MODE.ROTATION,
+        path_out=tmp_path, num_steps=10, save_every=0,
+        meshpath=PINBALL_MESH, solver_backend="dense_lu", precision="f32",
+    )
+    fs._assign_steady_state(u0.copy(), p0.copy())
+    fs.initialize_time_stepping(ic=None)
+
+    K = Controller.from_file(_CONTROLLERS / "pinball_lqg_re30.mat")
+    assert K.B.shape[1] == 3 and K.C.shape[0] == 3  # genuinely MIMO
+    us = []
+    for _ in range(10):
+        u_ctrl = K.step(y=-np.asarray(fs.y_meas), dt=fs.params_time.dt)
+        us.append(np.asarray(u_ctrl).reshape(-1))
+        fs.step(u_ctrl=us[-1])
+    fs.write_timeseries()
+    us = np.asarray(us)
+    last = fs.timeseries.iloc[-1]
+    assert np.isfinite(last["dE"]) and last["dE"] < 1.0
+    assert np.isfinite(us).all()
+    assert (np.abs(us[-1]) > 0).any(), "controller produced no actuation"
+    assert np.linalg.norm(K.x) > 0, "controller state never moved"
+    # the three actuation channels are NOT identical (true MIMO action)
+    assert not np.allclose(us[-1], us[-1][0])
