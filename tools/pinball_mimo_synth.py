@@ -89,11 +89,22 @@ log.info("operators: A %s nnz %d, B %s, C %s (%.0fs)",
 # mode, scales w^H E v = 1, and realifies into a block-diagonal ROM.
 t2 = time.time()
 from flowcontrol_tpu.utils.linalg import modal_rom
+from flowcontrol_tpu.utils.statespace import StateSpace as _SS
 
-rom, kept = modal_rom(
-    a, e, b, c, shifts=[0.0 + 0.75j, 0.0 + 0.0j], k_per_shift=6,
-    re_min=-1.0,
-)
+rom_cache = PKG / "_controllers" / f"pinball_rom_re{RE:g}.npz"
+if rom_cache.exists():
+    dd = np.load(rom_cache)
+    rom = _SS(dd["A"], dd["B"], dd["C"])
+    kept = dd["kept"]
+    log.info("loaded cached ROM %s", rom_cache.name)
+else:
+    rom, kept = modal_rom(
+        a, e, b, c, shifts=[0.0 + 0.75j, 0.0 + 0.0j], k_per_shift=6,
+        re_min=-1.0,
+    )
+    rom_cache.parent.mkdir(exist_ok=True)
+    np.savez_compressed(rom_cache, A=np.asarray(rom.A), B=np.asarray(rom.B),
+                        C=np.asarray(rom.C), kept=np.asarray(kept))
 Ai = np.asarray(rom.A)
 Bi = np.asarray(rom.B)
 Cr = np.asarray(rom.C)
@@ -102,17 +113,35 @@ log.info("ROM order %d (%.0fs); kept eigs %s", Ai.shape[0],
          time.time() - t2, np.round(np.sort_complex(kept), 4))
 
 # ── LQG on the ROM ───────────────────────────────────────────────────────────
-klqg, F, L = lqg_regulator(rom, qx=1.0, ru=1.0, qw=1.0, rv=1e-2)
-kl_eigs = np.linalg.eigvals(np.asarray(klqg.A))
-assert kl_eigs.real.max() < 0, f"unstable LQG controller: {kl_eigs}"
-# closed-loop ROM spectrum (certainty equivalence): plant x ctrl coupled
-acl = np.block([
-    [Ai, Bi @ np.asarray(klqg.C)],
-    [np.asarray(klqg.B) @ Cr, np.asarray(klqg.A)],
-])
-cl_eigs = np.linalg.eigvals(acl)
-log.info("closed-loop ROM eigs (max Re) %.4f vs open %.4f",
-         cl_eigs.real.max(), rom_eigs.real.max())
+# LQG guarantees CLOSED-LOOP stability, not compensator stability; a
+# marginally-unstable compensator is still undesirable for standalone
+# deployment, so sweep a few weight settings and prefer one whose
+# compensator is itself stable (strong stabilization) with good
+# closed-loop damping.
+def try_weights(qx, ru, qw, rv):
+    k, F, L = lqg_regulator(rom, qx=qx, ru=ru, qw=qw, rv=rv)
+    acl = np.block([
+        [Ai, Bi @ np.asarray(k.C)],
+        [np.asarray(k.B) @ Cr, np.asarray(k.A)],
+    ])
+    return (k, np.linalg.eigvals(np.asarray(k.A)).real.max(),
+            np.linalg.eigvals(acl).real.max())
+
+best = None
+for (qx, ru, qw, rv) in [(1.0, 1.0, 1.0, 1e-2), (1.0, 1.0, 1.0, 1e-1),
+                         (10.0, 1.0, 1.0, 1e-1), (1.0, 10.0, 1.0, 1e-1),
+                         (1.0, 1.0, 10.0, 1.0)]:
+    k, k_re, cl_re = try_weights(qx, ru, qw, rv)
+    log.info("weights qx=%g ru=%g qw=%g rv=%g: K max Re %.4f, "
+             "closed-loop max Re %.4f", qx, ru, qw, rv, k_re, cl_re)
+    cand = (k_re >= 0, cl_re, k, k_re)  # prefer stable K, then damping
+    if best is None or cand[:2] < best[:2]:
+        best = cand
+_, cl_max_re, klqg, k_re = best
+assert cl_max_re < 0, f"no stabilizing weight setting found ({cl_max_re})"
+cl_eigs = np.array([cl_max_re])
+log.info("selected controller: K max Re %.4f, closed-loop max Re %.4f "
+         "(open ROM max Re %.4f)", k_re, cl_max_re, rom_eigs.real.max())
 
 out = PKG / "_controllers" / f"pinball_lqg_re{RE:g}.mat"
 out.parent.mkdir(exist_ok=True)
