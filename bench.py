@@ -214,7 +214,11 @@ def bench_cavity(platform: str) -> dict | None:
     from flowcontrol_tpu.models.cavity import CavityFlowSolver
 
     steps = int(os.environ.get("BENCH_CAVITY_STEPS", "50"))
-    batch = int(os.environ.get("BENCH_CAVITY_BATCH", "16"))
+    # B sweep on v5 lite (2026-08, trim+leaf1536 factors, 1.72 GB):
+    # B=16 414, 32 751, 64 1134, 128 2048 agg steps/s — still ~1.8x per
+    # doubling at 128; 64 is the default to keep the leg's compile+run
+    # time bounded while sitting well past the 700-agg synthesis target.
+    batch = int(os.environ.get("BENCH_CAVITY_BATCH", "64"))
     fs = CavityFlowSolver.make_default(
         Re=7500, meshpath=mesh, num_steps=max(steps, 10), save_every=0,
         path_out=Path("/tmp/stock_cavity"), verbose=0,
