@@ -629,8 +629,14 @@ class FlowSolver(ABC):
         )
         up_n = np.concatenate([self.fields.u_n.reshape(-1), self.fields.p_n])
         up_nn = np.concatenate([self.fields.u_nn.reshape(-1), self.fields.p_n])
+        t0 = time.time()
         self._carry = self._stepper.init_carry(up_n, up_nn)
         self._step_jit = self._stepper.compiled_step()
+        dt_carry = time.time() - t0
+        if dt_carry > 1.0:
+            # at production scale this wait is the async H2D queue draining
+            # behind the carry upload, not compute
+            logger.info("prepare: carry init (upload drain) %.1fs", dt_carry)
 
     @property
     def stepper(self) -> Stepper:

@@ -224,6 +224,17 @@ class Stepper:
                 _tlog.info("build: %s %.1fs", what, now - _tlast[0])
             _tlast[0] = now
 
+        # kick the JAX backend init (devices discovery + relay handshake,
+        # ~15 s on the axon tunnel) onto a thread NOW: it overlaps the
+        # host-side element assembly / BC elimination below instead of
+        # blocking the first jnp.asarray mid-build
+        import threading
+
+        threading.Thread(
+            target=lambda: jax.devices(), name="jax-backend-warmup",
+            daemon=True,
+        ).start()
+
         forms, space, bcs = self.forms, self.space, self.bcs
         n = space.n_dofs
         dt = self.dtype
@@ -255,6 +266,8 @@ class Stepper:
         dev["solvers"] = []
         dev["lift_act"] = []
         dev["lift_static"] = []
+        lift_act_host: list = []
+        lift_static_host: list = []
         dev["lhs_e"] = []
         # refinement/borrow matvec operands, keyed by ORDER INDEX (a list
         # would silently misalign when entries are appended conditionally
@@ -291,8 +304,16 @@ class Stepper:
             _log.info("prepare order=%s: eliminate_csr %.1fs", order,
                       _time.time() - _t2)
             la = (lift_cols @ profiles.T).T if self.n_act else np.zeros((0, n))
+            ls = lift_cols @ bcs.values
+            # host mirrors: the hot-order composition reorders these on
+            # host — pulling the device copy back (np.asarray on a jnp
+            # array) blocks on the whole async factor H2D queue (measured
+            # 47.6 s behind the 1.65 GB multifrontal upload at the 235k
+            # cavity on the axon relay)
+            lift_act_host.append(la)
+            lift_static_host.append(ls)
             dev["lift_act"].append(jnp.asarray(la, dtype=dt))
-            dev["lift_static"].append(jnp.asarray(lift_cols @ bcs.values, dtype=dt))
+            dev["lift_static"].append(jnp.asarray(ls, dtype=dt))
             if self._borrow_first and order == 1:
                 # no factor for BDF1: keep only the BC-masked element tensors
                 # for the Richardson matvec against A1
@@ -667,14 +688,16 @@ class Stepper:
                 tree["perm_host"] = mperm_new
                 tree["ipos_host"] = ipos_new
             _tick("mf perm composition")
-            # dof-space vectors -> hot order (one-time, at build)
+            # dof-space vectors -> hot order (one-time, at build) — from
+            # the HOST mirrors: a d2h here would block on the async factor
+            # upload queue (see the mirror note above)
             dev["lift_act"] = [
-                jnp.asarray(np.asarray(v)[..., hot_src], dtype=dt)
-                for v in dev["lift_act"]
+                jnp.asarray(v[..., hot_src], dtype=dt)
+                for v in lift_act_host
             ]
             dev["lift_static"] = [
-                jnp.asarray(np.asarray(v)[..., hot_src], dtype=dt)
-                for v in dev["lift_static"]
+                jnp.asarray(v[..., hot_src], dtype=dt)
+                for v in lift_static_host
             ]
             _tick("lift reorder")
             logging.getLogger(__name__).info(
@@ -801,6 +824,7 @@ class Stepper:
         self._coeffs = {o: forms.rhs_coefficients(o) for o in orders}
         self._is_nonlinear = forms.is_nonlinear
         self._scan_step = None
+        self._init_vals_jit = None
         # hooks overridable by parallel.sharding.shard_stepper
         self._apply_hook = None
         self._nl_hook = None
@@ -1135,9 +1159,20 @@ class Stepper:
             up_prev = self.to_hot(up_prev)
         u0 = jnp.asarray(up0, dtype=self.dtype)
         um1 = u0 if up_prev is None else jnp.asarray(up_prev, dtype=self.dtype)
-        nprev = self._nl(self._dev, um1)
-        mu0 = self._apply(self._dev, "m", u0)
-        mum1 = mu0 if up_prev is None else self._apply(self._dev, "m", um1)
+        # one jitted program (persistent-cache friendly): run eagerly these
+        # applies dispatch/compile op-by-op over the relay — measured 73 s
+        # at the 235k cavity vs one compile+call here
+        if self._init_vals_jit is None:
+            self._init_vals_jit = jax.jit(
+                lambda dev, a, b: (
+                    self._nl(dev, b),
+                    self._apply(dev, "m", a),
+                    self._apply(dev, "m", b),
+                )
+            )
+        nprev, mu0, mum1 = self._init_vals_jit(self._dev, u0, um1)
+        if up_prev is None:
+            mum1 = mu0
         return StepCarry(
             u_n=u0,
             u_nn=um1,

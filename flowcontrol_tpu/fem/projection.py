@@ -22,14 +22,56 @@ from flowcontrol_tpu.mesh.dofmap import TaylorHoodSpace
 
 
 def velocity_mass_csr(geom: CellGeometry, space: TaylorHoodSpace):
-    """Velocity-space scalar mass matrix (n_vnodes, n_vnodes) CSR."""
+    """Velocity-space scalar mass matrix (n_vnodes, n_vnodes) CSR.
+
+    Memoized on the space object: IC setup builds it for the div-free
+    perturbation AND the constrained re-projection — at the 235k cavity
+    each build is seconds of setup."""
+    cached = getattr(space, "_vel_mass_csr", None)
+    if cached is not None:
+        return cached
     m6 = np.asarray(scalar_mass_p2(geom), dtype=np.float64)
     cn = space.cell_vel_nodes
     rows = np.repeat(cn, 6, axis=1).reshape(-1)
     cols = np.tile(cn, (1, 6)).reshape(-1)
-    return sp.coo_matrix(
+    m = sp.coo_matrix(
         (m6.reshape(-1), (rows, cols)), shape=(space.n_vnodes, space.n_vnodes)
     ).tocsr()
+    try:
+        space._vel_mass_csr = m
+    except AttributeError:
+        pass
+    return m
+
+
+def _constrained_mass_solve(
+    m, b: np.ndarray, nodes: np.ndarray, vals: np.ndarray
+) -> np.ndarray:
+    """Solve ``M u = b`` with Dirichlet rows replaced by identity
+    (dolfin's non-symmetric ``bc.apply(A); bc.apply(b)`` elimination).
+
+    The eliminated system is the SPD principal submatrix M_ff, so a
+    Jacobi-CG converges in tens of iterations on a mass matrix — ~1 s at
+    the 235k cavity where the previous LIL row-surgery + SuperLU spsolve
+    path took tens of seconds per component (4 solves in the IC setup).
+    Converged to the f64 rounding floor (rtol 1e-13) with an exact
+    spsolve fallback, so the result is interchangeable with the direct
+    solve against the parity gates."""
+    n = m.shape[0]
+    u = np.zeros(n)
+    if len(nodes):
+        u[nodes] = vals
+    free = np.ones(n, dtype=bool)
+    free[nodes] = False
+    rhs = (b - m @ u)[free]
+    mff = m[free][:, free].tocsr()
+    dinv = 1.0 / mff.diagonal()
+    pre = spla.LinearOperator(mff.shape, matvec=lambda x: dinv * x)
+    x, info = spla.cg(mff, rhs, rtol=1e-13, atol=0.0, maxiter=400, M=pre)
+    if info != 0:  # mass CG not converging signals a broken mesh/geometry
+        x = spla.spsolve(mff.tocsc(), rhs)
+    u[free] = x
+    return u
 
 
 def pressure_mass_csr(geom: CellGeometry, space: TaylorHoodSpace):
@@ -64,21 +106,16 @@ def project_velocity(
     np.add.at(b, space.cell_vel_nodes.reshape(-1), r_e.reshape(-1, 2))
 
     out = np.empty((space.n_vnodes, 2))
+    empty = np.array([], dtype=np.int64)
     for comp in range(2):
-        mm = m
         bb = b[:, comp].copy()
+        nodes, vv = empty, empty
         if bc_vel_nodes is not None and len(bc_vel_nodes):
             vals = bc_values[:, comp]
             mask = ~np.isnan(vals)
             nodes = np.asarray(bc_vel_nodes)[mask]
             vv = vals[mask]
-            if len(nodes):
-                mm = m.tolil(copy=True)
-                mm[nodes, :] = 0.0
-                mm[nodes, nodes] = 1.0
-                mm = mm.tocsr()
-                bb[nodes] = vv
-        out[:, comp] = spla.spsolve(mm.tocsc(), bb)
+        out[:, comp] = _constrained_mass_solve(m, bb, nodes, vv)
     return out
 
 
@@ -105,14 +142,9 @@ def project_velocity_nodal_constrained(
         b = m @ u_in[:, comp]
         sel = bc_comps == comp
         nodes = np.asarray(bc_nodes)[sel]
-        mm = m
-        if len(nodes):
-            mm = m.tolil(copy=True)
-            mm[nodes, :] = 0.0
-            mm[nodes, nodes] = 1.0
-            mm = mm.tocsr()
-            b[nodes] = np.asarray(bc_vals)[sel]
-        out[:, comp] = spla.spsolve(mm.tocsc(), b)
+        out[:, comp] = _constrained_mass_solve(
+            m, b, nodes, np.asarray(bc_vals)[sel]
+        )
     return out
 
 

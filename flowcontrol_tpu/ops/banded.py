@@ -33,6 +33,7 @@ assembly (ref: src/flowcontrol/flowsolver.py:703-799).
 from __future__ import annotations
 
 import logging
+import os
 
 import numpy as np
 import scipy.sparse as sp
@@ -215,7 +216,7 @@ def build_banded(mat, dtype=np.float32, max_bytes: int = 6_000_000_000,
     # same path with w=0: the empty-axis einsum yields exact zeros.)
     out_idx = np.full(n, -1, dtype=np.int64)
     row_off = 0
-    cls_dev = []
+    per_cls = []  # (nbc, w, idx_host, vals_host, win_host)
     for w, blk in classes:
         wb = w // _R
         pos_of_block = np.full(nb, -1, dtype=np.int64)
@@ -225,23 +226,56 @@ def build_banded(mat, dtype=np.float32, max_bytes: int = 6_000_000_000,
         cri = rows[sel] - bi[sel] * _R
         cci = cols[sel] - lo_a[bi[sel]]
         win = (lo_a[blk] // _R)[:, None] + np.arange(wb)[None, :]
-        idx = jnp.asarray(np.stack([cbi, cri, cci], axis=1), dtype=jnp.int32)
         nbc = len(blk)
-
-        fill = jax.jit(
-            lambda idx, vals, _nbc=nbc, _w=w: jnp.zeros(
-                (_nbc, _R, _w), dtype=dtype
-            ).at[idx[:, 0], idx[:, 1], idx[:, 2]].set(vals)
-        )
-        cls_dev.append({
-            "tiles": fill(idx, jnp.asarray(vals[sel], dtype=dtype)),
-            "win": jnp.asarray(win, dtype=jnp.int32),
-        })
+        per_cls.append((
+            nbc, int(w),
+            np.stack([cbi, cri, cci], axis=1).astype(np.int32),
+            vals[sel], win.astype(np.int32),
+        ))
         # rows of these blocks land at [row_off, row_off + nbc*_R)
         for j, b in enumerate(blk):
             r0, r1 = b * _R, min((b + 1) * _R, n)
             out_idx[r0:r1] = row_off + j * _R + np.arange(r1 - r0)
         row_off += nbc * _R
+
+    # Fill the tiles from COO triplets. The tiles are ~99% zeros, so how
+    # they are materialized matters at setup time:
+    #   'fused'  (default) — ONE jitted call scatters every class on
+    #     device: only the ~40x-smaller triplets cross the host->device
+    #     transport, and there is a single XLA compilation. (The first
+    #     version jitted one scatter PER class — 2 operators x ~16 width
+    #     classes = ~32 compiles, 164 s of the 235k cavity build on the
+    #     axon relay.)
+    #   'host' — vectorized numpy fill + dense upload: no scatter compile
+    #     at all, but the full padded tile bytes (1.6 GB at 235k) ride
+    #     the transport. Wins only when compiles are slow AND the
+    #     transport is fast. Env FC_BANDED_FILL overrides.
+    fill_mode = os.environ.get("FC_BANDED_FILL", "fused")
+    specs = tuple((nbc, w) for nbc, w, _, _, _ in per_cls)
+    if fill_mode == "host":
+        tiles_all = []
+        for nbc, w, idx, v, _ in per_cls:
+            flat = np.zeros(nbc * _R * w, dtype=dtype)
+            if len(v):
+                flat[(idx[:, 0].astype(np.int64) * _R + idx[:, 1]) * w
+                     + idx[:, 2]] = v
+            tiles_all.append(jnp.asarray(flat.reshape(nbc, _R, w)))
+    else:
+        def _fill_all(idxs, valss):
+            return tuple(
+                jnp.zeros((nbc, _R, w), dtype=dtype)
+                .at[i[:, 0], i[:, 1], i[:, 2]].set(v)
+                for (nbc, w), i, v in zip(specs, idxs, valss)
+            )
+
+        tiles_all = jax.jit(_fill_all)(
+            [jnp.asarray(idx) for _, _, idx, _, _ in per_cls],
+            [jnp.asarray(v, dtype=dtype) for _, _, _, v, _ in per_cls],
+        )
+    cls_dev = [
+        {"tiles": t, "win": jnp.asarray(win)}
+        for t, (_, _, _, _, win) in zip(tiles_all, per_cls)
+    ]
     if ordered:
         return {"classes": tuple(cls_dev)}
     # all-zero blocks (and any unassigned rows) read the appended zero slot

@@ -341,7 +341,20 @@ class MultifrontalLU:
             else:
                 payload = self._factorize(a_csr, coords, leaf_max, np_store,
                                           trim=self.trim)
-                fc_save(key, n=np.int64(n), **payload)
+                # background store: fc_save is atomic (tmp dir + rename)
+                # and the downstream transforms (_repack_dp,
+                # _sort_nodes_by_inbox_load) build fresh arrays, never
+                # writing the payload's — so the 2+ GB disk write (52 s
+                # at the 235k cavity) overlaps the repack/tables/upload
+                # phases. Non-daemon: Python joins it at interpreter
+                # shutdown, so the entry always lands.
+                import threading
+
+                threading.Thread(
+                    target=fc_save, args=(key,),
+                    kwargs=dict(n=np.int64(n), **payload),
+                    name="fc-save-primary",
+                ).start()
             # in-memory repack (disk format stays canonical): penalty-DP
             # grouping strictly dominates the fixed bucket grid — measured
             # on the real payloads: 235k stock cavity 71 stages/2.42 GB ->
@@ -357,9 +370,17 @@ class MultifrontalLU:
                         "(store dtype %s)", self.solve_err, np_store.name)
             tables = self._build_tables(payload)
             stacks = self._layout_stacks(payload)
-            fc_save(dkey, n=np.int64(n),
-                    solve_err=np.float64(self.solve_err),
-                    **_encode_derived(tables, stacks))
+            # background store (atomic; _finalize_device only reads the
+            # stacks) — overlaps the derived write with the H2D upload
+            import threading
+
+            threading.Thread(
+                target=fc_save, args=(dkey,),
+                kwargs=dict(n=np.int64(n),
+                            solve_err=np.float64(self.solve_err),
+                            **_encode_derived(tables, stacks)),
+                name="fc-save-derived",
+            ).start()
         # zero-sweep gate: host-f64 factors rounded to f32 on the canonical
         # ordering sit in the "rounding-limited" trajectory class and need
         # no refinement; restructured trees (trimmed separators, small
