@@ -107,6 +107,21 @@ def _enforce_cap(d: Path) -> None:
                 pass
 
 
+def entry_dir(key: str) -> Path | None:
+    """Directory of a raw-.npy cache entry, or None. Callers that stream
+    (load one array, hand it to the device, load the next) read the files
+    themselves — overlapping fread with the H2D transfer instead of
+    paying fread-then-upload sequentially (see MultifrontalLU)."""
+    d = cache_dir()
+    if d is None:
+        return None
+    p = d / key
+    if p.is_dir():
+        p.touch()  # mark recently-used for LRU eviction
+        return p
+    return None
+
+
 def load(key: str) -> dict | None:
     d = cache_dir()
     if d is None:
@@ -148,6 +163,30 @@ def load(key: str) -> dict | None:
     except Exception:
         logger.warning("factor cache entry unreadable, ignoring: %s", f)
         return None
+
+
+_inflight: list = []
+
+
+def save_async(key: str, **arrays: np.ndarray):
+    """Run :func:`save` on a background thread (atomic publish makes this
+    safe; callers must not mutate the passed arrays). Non-daemon, so the
+    interpreter joins it at shutdown and the entry always lands. Use
+    :func:`flush` to wait for pending stores (tests, benchmarks)."""
+    import threading
+
+    t = threading.Thread(
+        target=save, args=(key,), kwargs=arrays, name=f"fc-save-{key[:8]}"
+    )
+    _inflight.append(t)
+    t.start()
+    return t
+
+
+def flush() -> None:
+    """Block until every pending :func:`save_async` store has published."""
+    while _inflight:
+        _inflight.pop().join()
 
 
 def save(key: str, **arrays: np.ndarray) -> None:

@@ -297,9 +297,10 @@ class MultifrontalLU:
         )
 
         from flowcontrol_tpu.solvers.factor_cache import (
+            entry_dir as fc_entry_dir,
             load as fc_load,
             matrix_key as fc_key,
-            save as fc_save,
+            save_async as fc_save_async,
         )
 
         coords_digest = hashlib.sha256(
@@ -328,33 +329,43 @@ class MultifrontalLU:
         # (and 13% fewer bytes than the canonical payload after DP repack)
         # d2: tile-physical (8,128) DP padding granularity
         dkey = f"{key}-d2-{pack}-{lam_mb:g}-{self.inbox}-{self.layout}"
-        dcached = fc_load(dkey)
-        if dcached is not None and int(dcached["n"]) == n:
-            tables, stacks = _decode_derived(dcached)
-            self.solve_err = float(dcached.get("solve_err", -1.0))
-            logger.info("multifrontal: loaded derived (upload-ready) cache")
-        else:
+        tables = stacks = None
+        ded = fc_entry_dir(dkey)
+        if ded is not None:
+            # STREAMING warm load: read each stage's factor stacks and
+            # hand them to the device immediately, so the next fread
+            # overlaps the in-flight H2D transfer — measured fread 15 s +
+            # upload 20 s sequential at the 235k cavity, ~max of the two
+            # interleaved. Any read error falls back to the cold path.
+            try:
+                tables, stacks, self.solve_err = _load_derived_streaming(
+                    ded, n
+                )
+                self.loaded_from = "stream"
+                logger.info(
+                    "multifrontal: streamed derived (upload-ready) cache"
+                )
+            except Exception:
+                logger.warning(
+                    "derived cache entry unreadable, rebuilding: %s", ded
+                )
+                tables = stacks = None
+        if tables is None:
             cached = fc_load(key)
             if cached is not None and int(cached["n"]) == n:
                 payload = {k: v for k, v in cached.items()}
+                self.loaded_from = "primary"
                 logger.info("multifrontal: loaded cached factors")
             else:
                 payload = self._factorize(a_csr, coords, leaf_max, np_store,
                                           trim=self.trim)
-                # background store: fc_save is atomic (tmp dir + rename)
-                # and the downstream transforms (_repack_dp,
-                # _sort_nodes_by_inbox_load) build fresh arrays, never
-                # writing the payload's — so the 2+ GB disk write (52 s
-                # at the 235k cavity) overlaps the repack/tables/upload
-                # phases. Non-daemon: Python joins it at interpreter
-                # shutdown, so the entry always lands.
-                import threading
-
-                threading.Thread(
-                    target=fc_save, args=(key,),
-                    kwargs=dict(n=np.int64(n), **payload),
-                    name="fc-save-primary",
-                ).start()
+                self.loaded_from = "build"
+                # background store (atomic tmp+rename publish; the
+                # downstream transforms _repack_dp /
+                # _sort_nodes_by_inbox_load build fresh arrays, never
+                # writing the payload's) — the 2+ GB disk write (52 s at
+                # the 235k cavity) overlaps repack/tables/upload
+                fc_save_async(key, n=np.int64(n), **payload)
             # in-memory repack (disk format stays canonical): penalty-DP
             # grouping strictly dominates the fixed bucket grid — measured
             # on the real payloads: 235k stock cavity 71 stages/2.42 GB ->
@@ -372,15 +383,9 @@ class MultifrontalLU:
             stacks = self._layout_stacks(payload)
             # background store (atomic; _finalize_device only reads the
             # stacks) — overlaps the derived write with the H2D upload
-            import threading
-
-            threading.Thread(
-                target=fc_save, args=(dkey,),
-                kwargs=dict(n=np.int64(n),
-                            solve_err=np.float64(self.solve_err),
-                            **_encode_derived(tables, stacks)),
-                name="fc-save-derived",
-            ).start()
+            fc_save_async(dkey, n=np.int64(n),
+                          solve_err=np.float64(self.solve_err),
+                          **_encode_derived(tables, stacks))
         # zero-sweep gate: host-f64 factors rounded to f32 on the canonical
         # ordering sit in the "rounding-limited" trajectory class and need
         # no refinement; restructured trees (trimmed separators, small
@@ -834,6 +839,55 @@ def _encode_derived(tables: dict, stacks: list) -> dict:
         out[f"ginv_{di}"] = ginv
         out[f"fbi_{di}"] = fbi
     return out
+
+
+def _load_derived_streaming(p, n: int) -> tuple[dict, list, float]:
+    """Warm-path loader over a raw-.npy cache dir: loads the small tables,
+    then each stage's factor stacks — handing every stack to the device
+    (jnp.asarray, async enqueue) as soon as it is read, so the following
+    fread overlaps the in-flight H2D transfer. Returns stacks of DEVICE
+    arrays; _finalize_device's jnp.asarray is then a no-op."""
+    import json
+
+    meta = json.loads(
+        bytes(np.load(p / "meta_json.npy", allow_pickle=False)).decode()
+    )
+    if int(np.load(p / "n.npy", allow_pickle=False)) != n:
+        raise ValueError("derived cache entry is for a different n")
+    se = p / "solve_err.npy"
+    solve_err = (
+        float(np.load(se, allow_pickle=False)) if se.exists() else -1.0
+    )
+
+    def _ld(name):
+        return np.load(p / f"{name}.npy", allow_pickle=False)
+
+    tables = {
+        "n_depths": meta["n_depths"],
+        "total": meta["total"],
+        "total_contrib": meta["total_contrib"],
+        "perm": _ld("perm"),
+        "ipos": _ld("ipos"),
+        "stages": [],
+        "static": [
+            (e, b, m, off, coff,
+             tuple((m0, m1, bool(f)) for (m0, m1, f) in segs))
+            for (e, b, m, off, coff, segs) in meta["static"]
+        ],
+    }
+    stacks = []
+    for di in range(meta["n_depths"]):
+        tables["stages"].append({
+            "bd": _ld(f"bds_{di}"),
+            "bd_s": _ld(f"bdss_{di}"),
+            "inbox_ts": tuple(
+                _ld(f"ibt_{di}_{si}") for si in range(meta["n_ibt"][di])
+            ),
+        })
+        stacks.append(tuple(
+            jnp.asarray(_ld(f"{nm}_{di}")) for nm in ("inv", "ginv", "fbi")
+        ))
+    return tables, stacks, solve_err
 
 
 def _decode_derived(d: dict) -> tuple[dict, list]:

@@ -161,10 +161,17 @@ def test_stepper_multifrontal_backend_matches_host_lu(tmp_path, monkeypatch,
 def test_multifrontal_warm_cache_reproduces(bdf2_system, tmp_path,
                                             monkeypatch):
     monkeypatch.setenv("FLOWCONTROL_TPU_FACTOR_CACHE", str(tmp_path))
+    from flowcontrol_tpu.solvers import factor_cache as fc
+
     a_bc, coords = bdf2_system
     kw = dict(leaf_max=700, dtype=jax.numpy.float32)
     mf = MultifrontalLU(a_bc, coords, **kw)
-    mf2 = MultifrontalLU(a_bc, coords, **kw)  # cache hit
+    assert mf.loaded_from == "build"
+    fc.flush()  # cache stores are async — publish before the warm build
+    mf2 = MultifrontalLU(a_bc, coords, **kw)  # derived-cache hit
+    # the warm path streams fread -> device upload per stage
+    assert mf2.loaded_from == "stream"
+    assert mf2.solve_err == mf.solve_err
     rng = np.random.default_rng(2)
     b = rng.standard_normal(a_bc.shape[0])
     assert np.allclose(
