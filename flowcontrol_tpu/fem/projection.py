@@ -28,8 +28,8 @@ def velocity_mass_csr(geom: CellGeometry, space: TaylorHoodSpace):
     perturbation AND the constrained re-projection — at the 235k cavity
     each build is seconds of setup."""
     cached = getattr(space, "_vel_mass_csr", None)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] == id(geom):
+        return cached[1]
     m6 = np.asarray(scalar_mass_p2(geom), dtype=np.float64)
     cn = space.cell_vel_nodes
     rows = np.repeat(cn, 6, axis=1).reshape(-1)
@@ -38,7 +38,9 @@ def velocity_mass_csr(geom: CellGeometry, space: TaylorHoodSpace):
         (m6.reshape(-1), (rows, cols)), shape=(space.n_vnodes, space.n_vnodes)
     ).tocsr()
     try:
-        space._vel_mass_csr = m
+        # keyed on the geometry identity too: the same space paired with a
+        # deformed/re-read mesh must not return the stale mass matrix
+        space._vel_mass_csr = (id(geom), m)
     except AttributeError:
         pass
     return m

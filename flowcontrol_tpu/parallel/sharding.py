@@ -207,6 +207,10 @@ def shard_stepper(stepper, mesh: Mesh, axis: str = "space",
     )
     stepper._apply_hook = lambda key, x: applies[key](x)
     stepper._nl_hook = nl
+    # drop any pre-hook jitted init trace: _init_vals_jit captured the
+    # is-None hook checks at trace time, so a carry re-init after sharding
+    # would silently reuse the unsharded computation/output sharding
+    stepper._init_vals_jit = None
 
     if stepper.backend == "dense_lu":
         # distribute the DIRECT solve: multifrontal stage stacks sharded

@@ -165,7 +165,10 @@ def load(key: str) -> dict | None:
         return None
 
 
+import threading as _threading
+
 _inflight: list = []
+_inflight_lock = _threading.Lock()
 
 
 def save_async(key: str, **arrays: np.ndarray):
@@ -173,20 +176,26 @@ def save_async(key: str, **arrays: np.ndarray):
     safe; callers must not mutate the passed arrays). Non-daemon, so the
     interpreter joins it at shutdown and the entry always lands. Use
     :func:`flush` to wait for pending stores (tests, benchmarks)."""
-    import threading
-
-    t = threading.Thread(
+    t = _threading.Thread(
         target=save, args=(key,), kwargs=arrays, name=f"fc-save-{key[:8]}"
     )
-    _inflight.append(t)
+    with _inflight_lock:
+        # prune finished stores so long campaigns that never call flush()
+        # do not accumulate dead Thread objects
+        _inflight[:] = [x for x in _inflight if x.is_alive()]
+        _inflight.append(t)
     t.start()
     return t
 
 
 def flush() -> None:
     """Block until every pending :func:`save_async` store has published."""
-    while _inflight:
-        _inflight.pop().join()
+    while True:
+        with _inflight_lock:
+            if not _inflight:
+                return
+            t = _inflight.pop()
+        t.join()
 
 
 def save(key: str, **arrays: np.ndarray) -> None:

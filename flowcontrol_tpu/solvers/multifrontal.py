@@ -345,9 +345,13 @@ class MultifrontalLU:
                 logger.info(
                     "multifrontal: streamed derived (upload-ready) cache"
                 )
-            except Exception:
+            except Exception as e:
+                # keep the exception visible: a format drift between
+                # _encode_derived and _load_derived_streaming would
+                # otherwise look like a silent permanent warm-path rebuild
                 logger.warning(
-                    "derived cache entry unreadable, rebuilding: %s", ded
+                    "derived cache entry unreadable (%r), rebuilding: %s",
+                    e, ded,
                 )
                 tables = stacks = None
         if tables is None:
