@@ -75,7 +75,14 @@ def main(num_steps: int = 400, closed_loop: bool = True):
     dt = fs.params_time.dt
     for _ in range(num_steps):
         if K is not None:
-            u_ctrl = K.step(y=-np.asarray(fs.y_meas), dt=dt)  # u = K(-y)
+            # u = +K(y): lqg_regulator's compensator consumes the raw
+            # measurement (its B_K already carries the Kalman gain sign);
+            # the closed-loop spectrum certified by the synthesis tool is
+            # the [[A, B·K_C], [K_B·C, K_A]] interconnection. (The
+            # reference's u = Kss.step(-y) convention belongs to ITS
+            # Kopt artifact, which was designed for that sign —
+            # ref: run_cylinder_example.py:84-86.)
+            u_ctrl = K.step(y=np.asarray(fs.y_meas), dt=dt)
         else:
             u_ctrl = np.zeros(3)
         fs.step(u_ctrl=np.asarray(u_ctrl).reshape(-1))

@@ -751,6 +751,7 @@ class Stepper:
         # dense-matmul range (see ops/banded.py)
         dev["m_banded"] = None
         dev["lvel_banded"] = None
+        self._m_banded_scalar = False
         if self.banded_operators:
             from flowcontrol_tpu.ops.banded import build_banded
 
@@ -761,10 +762,30 @@ class Stepper:
                 # contiguous width classes and zero-permute boundaries
                 return csr[hs][:, hs].tocsr() if hs is not None else csr
 
-            dev["m_banded"] = build_banded(
-                _hot_csr(to_scipy_csr(forms.mass_elements(), space.cell_dofs, n).tocsr()),
-                dtype=dt, ordered=hs is not None,
-            )
+            if hs is not None:
+                # SCALAR-mass tiles: in hot order the velocity mass is
+                # blkdiag(Ms, Ms) with Ms the scalar node mass in node-RCM
+                # order (hot layout = [ux(nodes), uy(nodes), p]). Building
+                # tiles once for Ms and applying both components as a
+                # leading batch axis halves the tile bytes AND amortizes
+                # every tile read over the two columns — measured 2.4 ms ->
+                # ~1 ms at the 235k cavity (the m apply was pure HBM
+                # streaming of ~1.7 GB of mostly-zero padded windows).
+                from flowcontrol_tpu.fem.projection import velocity_mass_csr
+
+                nperm = self._node_perm
+                ms = velocity_mass_csr(forms.geom, space)[nperm][:, nperm]
+                dev["m_banded"] = build_banded(
+                    ms.tocsr(), dtype=dt, ordered=True,
+                )
+                self._m_banded_scalar = dev["m_banded"] is not None
+            if dev["m_banded"] is None:
+                dev["m_banded"] = build_banded(
+                    _hot_csr(to_scipy_csr(
+                        forms.mass_elements(), space.cell_dofs, n
+                    ).tocsr()),
+                    dtype=dt, ordered=hs is not None,
+                )
             if dev["lvel_e"] is not None:
                 dev["lvel_banded"] = build_banded(
                     _hot_csr(to_scipy_csr(
@@ -798,7 +819,23 @@ class Stepper:
             if built is not None:
                 dev["nl_win"], self._nl_win_static = built
                 if isinstance(self.windowed_nl, str):
-                    self._nl_win_static["variant"] = self.windowed_nl
+                    if self.windowed_nl == "pallas":
+                        # on-chip mask generation (ops/pallas_nl.py):
+                        # single-stream split-layout only; batched operands
+                        # (and non-TPU backends) keep the XLA onehot path
+                        self._nl_win_static["variant"] = "onehot"
+                        self._nl_win_static["pallas"] = True
+                    else:
+                        self._nl_win_static["variant"] = self.windowed_nl
+                if (self._nl_win_static.get("pallas")
+                        and self._nl_win_static.get("split")):
+                    from flowcontrol_tpu.ops.pallas_nl import build_nl_pallas
+
+                    dev["nl_win"] = dict(dev["nl_win"]) | build_nl_pallas(
+                        dev["nl_win"], self._nl_win_static
+                    )
+                else:
+                    self._nl_win_static["pallas"] = False
         if self._hot_src is not None:
             dev["c"] = jnp.asarray(
                 np.asarray(self.c_rows)[:, self._hot_src], dtype=dt
@@ -842,6 +879,18 @@ class Stepper:
         if banded is not None:
             from flowcontrol_tpu.ops.banded import banded_matvec
 
+            if key == "m" and self._m_banded_scalar:
+                # scalar tiles applied to both velocity components as a
+                # leading batch axis (see the build-site comment)
+                nv = self.space.n_vnodes
+                batch = x.shape[:-1]
+                xv = x[..., : 2 * nv].reshape(batch + (2, nv))
+                yv = banded_matvec(banded, xv).reshape(batch + (2 * nv,))
+                return jnp.concatenate(
+                    [yv, jnp.zeros(batch + (x.shape[-1] - 2 * nv,),
+                                   dtype=x.dtype)],
+                    axis=-1,
+                )
             return banded_matvec(banded, x)
         dense = dev["m_dense"] if key == "m" else dev["lvel_dense"]
         if dense is not None:
@@ -857,6 +906,14 @@ class Stepper:
         if self._nl_hook is not None:
             return self._nl_hook(x)
         if dev.get("nl_win") is not None:
+            if self._nl_win_static.get("pallas") and x.ndim == 1:
+                from flowcontrol_tpu.ops.pallas_nl import (
+                    nonlinear_convection_pallas,
+                )
+
+                return nonlinear_convection_pallas(
+                    dev["nl_win"], self._nl_win_static, x, self.space.n_dofs
+                )
             from flowcontrol_tpu.ops.cellwindows import (
                 nonlinear_convection_windowed,
             )

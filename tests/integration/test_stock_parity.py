@@ -303,3 +303,54 @@ def test_stock_cylinder_closed_loop_tpu_path(stock_base_flow):
     assert np.isclose(last["y_meas_2"], _LAST_Y_MEAS_2_REF, rtol=1e-3)
     assert np.isclose(last["y_meas_3"], _LAST_Y_MEAS_3_REF, rtol=1e-3)
     assert np.isclose(last["dE"], _LAST_DE_REF, rtol=1e-3)
+
+
+@pytest.mark.heavy
+@pytest.mark.skipif(
+    not (Path(__file__).resolve().parents[2] / "flowcontrol_tpu" / "models"
+         / "_controllers" / "cavity_lqg_re7500.mat").exists(),
+    reason="controller artifact not synthesized "
+           "(tools/cavity_feedback_synth.py)",
+)
+def test_stock_cavity_closed_loop_rejection(tmp_path):
+    """The Re=7500 cavity loop CLOSED — the configuration the reference
+    defines but never exercises (sensor/actuator pair:
+    ref: src/examples/cavity/cavityflowsolver.py:254-268; its example is
+    open-loop, ref: run_cavity_example.py:73-75). Identical small ICs, 400
+    steps (T=0.16) through the production dense_lu/f32 path at 235k dofs:
+    the LQG synthesized on the modal ROM of the 4 documented unstable
+    pairs (max growth rate +0.889, ref: compute_eigenvalues.py:53-57)
+    must end with less perturbation energy than the open-loop run."""
+    from flowcontrol_tpu.core.controller import Controller
+    from flowcontrol_tpu.models.cavity import CavityFlowSolver
+
+    pkg = Path(__file__).resolve().parents[2] / "flowcontrol_tpu" / "models"
+    n_steps = 400
+    des = {}
+    for closed in (False, True):
+        fs = CavityFlowSolver.make_default(
+            Re=7500, meshpath=CAVITY_MESH, num_steps=n_steps, save_every=0,
+            path_out=tmp_path / ("cl" if closed else "ol"),
+            solver_backend="dense_lu", precision="f32",
+        )
+        fs.params_ic.xloc, fs.params_ic.yloc = 0.5, 0.05
+        fs.params_ic.radius, fs.params_ic.amplitude = 0.1, 0.001
+        d = np.load(pkg / "_baseflows"
+                    / f"cavity_re7500_n{fs.space.n_dofs}.npz")
+        fs._assign_steady_state(d["U0"], d["P0"])
+        fs.initialize_time_stepping()
+        K = (Controller.from_file(pkg / "_controllers"
+                                  / "cavity_lqg_re7500.mat")
+             if closed else None)
+        for _ in range(n_steps):
+            u_ctrl = (
+                K.step(y=np.asarray(fs.y_meas), dt=fs.params_time.dt)
+                if K is not None else np.zeros(1)
+            )
+            fs.step(u_ctrl=np.asarray(u_ctrl).reshape(-1))
+        fs.write_timeseries()
+        de = fs.timeseries["dE"].to_numpy()
+        assert np.isfinite(de).all()
+        des["closed" if closed else "open"] = de
+    assert des["closed"][-1] < 0.95 * des["open"][-1], (
+        des["closed"][-1], des["open"][-1])

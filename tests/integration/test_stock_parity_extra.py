@@ -270,7 +270,9 @@ def test_stock_pinball_mimo_feedback(stock_pinball_base_flow, tmp_path):
     assert K.B.shape[1] == 3 and K.C.shape[0] == 3  # genuinely MIMO
     us = []
     for _ in range(10):
-        u_ctrl = K.step(y=-np.asarray(fs.y_meas), dt=fs.params_time.dt)
+        # u = +K(y): the interconnection whose spectrum the synthesis
+        # tool certifies (see examples/run_pinball_feedback.py)
+        u_ctrl = K.step(y=np.asarray(fs.y_meas), dt=fs.params_time.dt)
         us.append(np.asarray(u_ctrl).reshape(-1))
         fs.step(u_ctrl=us[-1])
     fs.write_timeseries()
@@ -282,3 +284,55 @@ def test_stock_pinball_mimo_feedback(stock_pinball_base_flow, tmp_path):
     assert np.linalg.norm(K.x) > 0, "controller state never moved"
     # the three actuation channels are NOT identical (true MIMO action)
     assert not np.allclose(us[-1], us[-1][0])
+
+
+@pytest.mark.heavy
+@pytest.mark.skipif(
+    not (_CONTROLLERS / "pinball_lqg_re30.mat").exists(),
+    reason="controller artifact not synthesized (tools/pinball_mimo_synth.py)",
+)
+def test_stock_pinball_mimo_rejection(stock_pinball_base_flow, tmp_path):
+    """Closed-vs-open MIMO disturbance rejection on the full nonlinear
+    stock-mesh plant: identical small ICs, 400 steps (T=2) through the
+    production dense_lu/f32 path; the LQG loop must end with LESS
+    perturbation energy than the open-loop run, whose unstable mode
+    (max Re +0.036 on the modal ROM) grows it. Pins actual CONTROL, not
+    just loop health — the rigor bar of the reference's own closed-loop
+    cylinder regression (ref: tests/integration/test_cylinder.py:66-126).
+    """
+    from flowcontrol_tpu.core.actuator import CYLINDER_ACTUATION_MODE
+    from flowcontrol_tpu.core.controller import Controller
+    from flowcontrol_tpu.models.pinball import PinballFlowSolver
+
+    u0, p0 = stock_pinball_base_flow
+    n_steps = 400
+    des = {}
+    for closed in (False, True):
+        fs = PinballFlowSolver.make_default(
+            Re=30, mode_actuation=CYLINDER_ACTUATION_MODE.ROTATION,
+            path_out=tmp_path / ("cl" if closed else "ol"),
+            num_steps=n_steps, save_every=0,
+            meshpath=PINBALL_MESH, solver_backend="dense_lu",
+            precision="f32",
+        )
+        # small downstream perturbation: linear-regime rejection
+        fs.params_ic.xloc, fs.params_ic.yloc = 1.0, 0.0
+        fs.params_ic.radius, fs.params_ic.amplitude = 0.6, 0.01
+        fs._assign_steady_state(u0.copy(), p0.copy())
+        fs.initialize_time_stepping()
+        K = (Controller.from_file(_CONTROLLERS / "pinball_lqg_re30.mat")
+             if closed else None)
+        for _ in range(n_steps):
+            u_ctrl = (
+                K.step(y=np.asarray(fs.y_meas), dt=fs.params_time.dt)
+                if K is not None else np.zeros(3)
+            )
+            fs.step(u_ctrl=np.asarray(u_ctrl).reshape(-1))
+        fs.write_timeseries()
+        de = fs.timeseries["dE"].to_numpy()
+        assert np.isfinite(de).all()
+        des["closed" if closed else "open"] = de
+    # feedback must beat the open loop at the horizon end — by a real
+    # margin, not rounding noise
+    assert des["closed"][-1] < 0.95 * des["open"][-1], (
+        des["closed"][-1], des["open"][-1])

@@ -58,17 +58,62 @@ fs = PinballFlowSolver.make_default(
 n = fs.space.n_dofs
 log.info("stock pinball: %d dofs (%.0fs)", n, time.time() - t0)
 
+u0_ctrl = [0.0, 0.0, 0.0]
 base = PKG / "_baseflows" / f"pinball_re{RE:g}_n{n}.npz"
 if base.exists():
     d = np.load(base)
     fs._assign_steady_state(d["U0"], d["P0"])
     log.info("loaded committed base flow %s", base.name)
 else:
-    u0_ctrl = [0.0, 0.0, 0.0]
-    fs.compute_steady_state(method="picard", max_iter=15, tol=1e-7,
-                            u_ctrl=u0_ctrl)
-    fs.compute_steady_state(method="newton", max_iter=10, u_ctrl=u0_ctrl,
-                            initial_guess=fs.fields.UP0)
+    # Continuation in Re (the reference's own lidcavity workflow pattern,
+    # ref: compute_steady_state_increasing_Re.py): seed Newton at each
+    # stage with the converged solution of the previous Re. Start from the
+    # highest committed base flow below the target; cold-start with
+    # Picard+Newton when none exists.
+    committed = sorted(
+        (float(p.stem.split("_re")[1].split("_n")[0]), p)
+        for p in (PKG / "_baseflows").glob(f"pinball_re*_n{n}.npz")
+        if float(p.stem.split("_re")[1].split("_n")[0]) < RE
+    )
+    if committed:
+        re_lo, p_lo = committed[-1]
+        d = np.load(p_lo)
+        fs._assign_steady_state(d["U0"], d["P0"])
+        guess = np.asarray(fs.fields.UP0)
+        log.info("continuation seed: %s (Re=%g)", p_lo.name, re_lo)
+    else:
+        re_lo = min(30.0, RE)
+        fs0 = fs if re_lo == RE else PinballFlowSolver.make_default(
+            Re=re_lo, meshpath=STOCK, num_steps=10, save_every=0,
+            path_out=Path("/tmp/pinball_synth"), verbose=10,
+            mode_actuation=CYLINDER_ACTUATION_MODE.ROTATION,
+            solver_backend="host_lu", precision="f64",
+        )
+        fs0.compute_steady_state(method="picard", max_iter=15, tol=1e-7,
+                                 u_ctrl=u0_ctrl)
+        fs0.compute_steady_state(method="newton", max_iter=10,
+                                 u_ctrl=u0_ctrl,
+                                 initial_guess=fs0.fields.UP0)
+        guess = np.asarray(fs0.fields.UP0)
+        log.info("cold start at Re=%g done (%.0fs)", re_lo, time.time() - t0)
+    schedule = [r for r in (50.0, 70.0, 85.0, 100.0, RE)
+                if re_lo < r <= RE]
+    schedule = sorted(set(schedule))
+    for re_i in schedule:
+        t_st = time.time()
+        fs_i = fs if re_i == RE else PinballFlowSolver.make_default(
+            Re=re_i, meshpath=STOCK, num_steps=10, save_every=0,
+            path_out=Path("/tmp/pinball_synth"), verbose=10,
+            mode_actuation=CYLINDER_ACTUATION_MODE.ROTATION,
+            solver_backend="host_lu", precision="f64",
+        )
+        fs_i.compute_steady_state(method="newton", max_iter=12,
+                                  u_ctrl=u0_ctrl, initial_guess=guess)
+        guess = np.asarray(fs_i.fields.UP0)
+        log.info("continuation Re=%g converged (%.0fs)", re_i,
+                 time.time() - t_st)
+    if not schedule:  # RE == re_lo cold start
+        fs._assign_steady_state(fs0.fields.U0, fs0.fields.P0)
     base.parent.mkdir(exist_ok=True)
     np.savez_compressed(base, U0=fs.fields.U0, P0=fs.fields.P0)
     log.info("steady state done + cached (%.0fs)", time.time() - t0)
@@ -98,9 +143,15 @@ if rom_cache.exists():
     kept = dd["kept"]
     log.info("loaded cached ROM %s", rom_cache.name)
 else:
+    # At Re=100 the pinball carries multiple unstable modes (ref README:58
+    # "Re<=100"): the vortex-shedding branch near omega~0.7-1.2 plus the
+    # steady symmetry-breaking mode near the origin — add a second
+    # oscillatory shift above Re 80 so every unstable pair is captured.
+    shifts = [0.0 + 0.75j, 0.0 + 0.0j]
+    if RE >= 80.0:
+        shifts = [0.0 + 0.75j, 0.1 + 1.1j, 0.0 + 0.0j]
     rom, kept = modal_rom(
-        a, e, b, c, shifts=[0.0 + 0.75j, 0.0 + 0.0j], k_per_shift=6,
-        re_min=-1.0,
+        a, e, b, c, shifts=shifts, k_per_shift=6, re_min=-1.0,
     )
     rom_cache.parent.mkdir(exist_ok=True)
     np.savez_compressed(rom_cache, A=np.asarray(rom.A), B=np.asarray(rom.B),
