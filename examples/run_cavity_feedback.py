@@ -42,14 +42,19 @@ def main(num_steps: int = 400, closed_loop: bool = True):
         path_out=Path.cwd() / "data_output_cavity_feedback",
         solver_backend="dense_lu", precision="f32",
     )
-    # small linear-regime perturbation over the shear layer
-    fs.params_ic.xloc, fs.params_ic.yloc = 0.5, 0.05
-    fs.params_ic.radius, fs.params_ic.amplitude = 0.1, 0.001
     base = PKG / "_baseflows" / f"cavity_re{RE:g}_n{fs.space.n_dofs}.npz"
     d = np.load(base)
     fs._assign_steady_state(d["U0"], d["P0"])
     log.info("loaded committed base flow %s", base.name)
-    fs.initialize_time_stepping()
+    # initialize ON the leading unstable mode (synthesized artifact): the
+    # closed-vs-open contrast then measures the subspace the controller
+    # targets — a generic Gaussian bump mostly excites stable transients
+    # that swamp it at a 400-step horizon (measured: identical dE)
+    mode = np.load(PKG / "_controllers" / f"cavity_mode_re{RE:g}.npz")
+    fs.params_ic.amplitude = 0.0
+    ic = 1e-3 * np.asarray(mode["v_re"], dtype=float)
+    log.info("IC = 1e-3 x Re(v) of mode %s", mode["eig"])
+    fs.initialize_time_stepping(ic=ic)
 
     kpath = PKG / "_controllers" / f"cavity_lqg_re{RE:g}.mat"
     if closed_loop and not kpath.exists():

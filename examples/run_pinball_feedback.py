@@ -34,10 +34,10 @@ log = logging.getLogger("pinball_feedback")
 
 STOCK = Path("/root/reference/src/examples/pinball/data_input/mesh_middle_gmsh.xdmf")
 PKG = Path(__file__).resolve().parents[1] / "flowcontrol_tpu" / "models"
-RE = 30.0
 
 
-def main(num_steps: int = 400, closed_loop: bool = True):
+def main(num_steps: int = 400, closed_loop: bool = True, RE: float = 30.0,
+         backend: str = "host_lu", precision: str = "f64"):
     kw = dict(meshpath=STOCK) if STOCK.exists() else dict(
         mesh_kwargs=dict(n1=2.0, n2=1.2, n3=0.5, segments=32, xinf=14.0)
     )
@@ -45,13 +45,9 @@ def main(num_steps: int = 400, closed_loop: bool = True):
         Re=RE, num_steps=num_steps, save_every=0, verbose=10,
         mode_actuation=CYLINDER_ACTUATION_MODE.ROTATION,
         path_out=Path.cwd() / "data_output_pinball_feedback",
+        solver_backend=backend, precision=precision,
         **kw,
     )
-    # a small downstream div-free perturbation so there is something to
-    # reject (the default ParamIC's unit-amplitude bump is disturbance-
-    # rejection at the nonlinear scale; feedback is linear-regime)
-    fs.params_ic.xloc, fs.params_ic.yloc = 1.0, 0.0
-    fs.params_ic.radius, fs.params_ic.amplitude = 0.6, 0.01
     base = PKG / "_baseflows" / f"pinball_re{RE:g}_n{fs.space.n_dofs}.npz"
     if base.exists():
         d = np.load(base)
@@ -63,7 +59,20 @@ def main(num_steps: int = 400, closed_loop: bool = True):
         fs.compute_steady_state(method="newton", max_iter=10,
                                 u_ctrl=[0.0] * 3,
                                 initial_guess=fs.fields.UP0)
-    fs.initialize_time_stepping()
+    # initialize ON the leading unstable mode when the synthesized mode
+    # artifact exists (see run_cavity_feedback.py) — else a small
+    # downstream div-free bump
+    mode_path = PKG / "_controllers" / f"pinball_mode_re{RE:g}.npz"
+    ic = None
+    if mode_path.exists():
+        mode = np.load(mode_path)
+        fs.params_ic.amplitude = 0.0
+        ic = 1e-2 * np.asarray(mode["v_re"], dtype=float)
+        log.info("IC = 1e-2 x Re(v) of mode %s", mode["eig"])
+    else:
+        fs.params_ic.xloc, fs.params_ic.yloc = 1.0, 0.0
+        fs.params_ic.radius, fs.params_ic.amplitude = 0.6, 0.01
+    fs.initialize_time_stepping(ic=ic)
 
     kpath = PKG / "_controllers" / f"pinball_lqg_re{RE:g}.mat"
     if closed_loop and not kpath.exists():
@@ -102,5 +111,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--open-loop", action="store_true")
+    ap.add_argument("--re", type=float, default=30.0,
+                    help="Reynolds number (a matching controller artifact "
+                         "pinball_lqg_re{RE}.mat must exist)")
+    ap.add_argument("--backend", default="host_lu")
+    ap.add_argument("--precision", default="f64")
     args = ap.parse_args()
-    main(num_steps=args.steps, closed_loop=not args.open_loop)
+    main(num_steps=args.steps, closed_loop=not args.open_loop, RE=args.re,
+         backend=args.backend, precision=args.precision)

@@ -605,8 +605,18 @@ class Stepper:
             # protocol) measured the windowed one-hot N(u) at 1.01 ms vs
             # 1.96 ms for the scatter-add pass at identical accuracy
             # (3.1e-5 vs host f64, the f32 floor, with the HIGH-precision
-            # einsums pinned in ops/cellwindows.py)
-            self.windowed_nl = "onehot" if self.banded_operators else False
+            # einsums pinned in ops/cellwindows.py). On TPU the default is
+            # the Pallas on-the-fly-mask kernel (ops/pallas_nl.py): the
+            # XLA onehot variant materializes the (nc*6, w) mask in HBM —
+            # 5.14 ms/step at the 235k cavity vs 0.90 ms for the in-VMEM
+            # mask (single-stream; batched operands transparently keep the
+            # XLA path, which amortizes the mask over the batch).
+            if self.banded_operators:
+                self.windowed_nl = (
+                    "pallas" if jax.default_backend() == "tpu" else "onehot"
+                )
+            else:
+                self.windowed_nl = False
 
         # hot dof order (see the hot_order field docstring): exact — a pure
         # renumbering, composed into every build-time table/vector

@@ -127,14 +127,18 @@ def _nl_pallas_call(rel, uwin_t, wq_t, dphi2_t, phi2, phi2t,
         kern,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 2, w), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, nq, _RC), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, n_loc, nq * 2, _RC), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((nq, n_loc), lambda i: (0, 0)),
-            pl.BlockSpec((n_loc, nq), lambda i: (0, 0)),
+            # unit-axis indices are i*0, not literal 0: with x64 on
+            # (config.py) a Python 0 traces as i64 and Mosaic rejects the
+            # mixed (i32, i64, ...) index tuple (see pallas_mf_matvec.py)
+            pl.BlockSpec((1, 1, m), lambda i: (i, i * 0, i * 0)),
+            pl.BlockSpec((1, 2, w), lambda i: (i, i * 0, i * 0)),
+            pl.BlockSpec((1, nq, _RC), lambda i: (i, i * 0, i * 0)),
+            pl.BlockSpec((1, n_loc, nq * 2, _RC),
+                         lambda i: (i, i * 0, i * 0, i * 0)),
+            pl.BlockSpec((nq, n_loc), lambda i: (i * 0, i * 0)),
+            pl.BlockSpec((n_loc, nq), lambda i: (i * 0, i * 0)),
         ],
-        out_specs=pl.BlockSpec((1, 2, w), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, 2, w), lambda i: (i, i * 0, i * 0)),
         out_shape=jax.ShapeDtypeStruct((nb, 2, w), jnp.float32),
         # CPU/testing: run the kernel through the Pallas interpreter so
         # the math is validated on any backend

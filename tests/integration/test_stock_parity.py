@@ -308,8 +308,8 @@ def test_stock_cylinder_closed_loop_tpu_path(stock_base_flow):
 @pytest.mark.heavy
 @pytest.mark.skipif(
     not (Path(__file__).resolve().parents[2] / "flowcontrol_tpu" / "models"
-         / "_controllers" / "cavity_lqg_re7500.mat").exists(),
-    reason="controller artifact not synthesized "
+         / "_controllers" / "cavity_mode_re7500.npz").exists(),
+    reason="controller artifacts not synthesized "
            "(tools/cavity_feedback_synth.py)",
 )
 def test_stock_cavity_closed_loop_rejection(tmp_path):
@@ -333,12 +333,17 @@ def test_stock_cavity_closed_loop_rejection(tmp_path):
             path_out=tmp_path / ("cl" if closed else "ol"),
             solver_backend="dense_lu", precision="f32",
         )
-        fs.params_ic.xloc, fs.params_ic.yloc = 0.5, 0.05
-        fs.params_ic.radius, fs.params_ic.amplitude = 0.1, 0.001
         d = np.load(pkg / "_baseflows"
                     / f"cavity_re7500_n{fs.space.n_dofs}.npz")
         fs._assign_steady_state(d["U0"], d["P0"])
-        fs.initialize_time_stepping()
+        # initialize ON the leading unstable mode (synthesized artifact):
+        # the closed-vs-open contrast then measures the subspace the
+        # controller targets instead of stable transients that swamp it
+        # at this horizon
+        mode = np.load(pkg / "_controllers" / "cavity_mode_re7500.npz")
+        fs.params_ic.amplitude = 0.0
+        fs.initialize_time_stepping(
+            ic=1e-3 * np.asarray(mode["v_re"], dtype=float))
         K = (Controller.from_file(pkg / "_controllers"
                                   / "cavity_lqg_re7500.mat")
              if closed else None)

@@ -288,8 +288,9 @@ def test_stock_pinball_mimo_feedback(stock_pinball_base_flow, tmp_path):
 
 @pytest.mark.heavy
 @pytest.mark.skipif(
-    not (_CONTROLLERS / "pinball_lqg_re30.mat").exists(),
-    reason="controller artifact not synthesized (tools/pinball_mimo_synth.py)",
+    not (_CONTROLLERS / "pinball_lqg_re30.mat").exists()
+    or not (_CONTROLLERS / "pinball_mode_re30.npz").exists(),
+    reason="controller artifacts not synthesized (tools/pinball_mimo_synth.py)",
 )
 def test_stock_pinball_mimo_rejection(stock_pinball_base_flow, tmp_path):
     """Closed-vs-open MIMO disturbance rejection on the full nonlinear
@@ -315,11 +316,15 @@ def test_stock_pinball_mimo_rejection(stock_pinball_base_flow, tmp_path):
             meshpath=PINBALL_MESH, solver_backend="dense_lu",
             precision="f32",
         )
-        # small downstream perturbation: linear-regime rejection
-        fs.params_ic.xloc, fs.params_ic.yloc = 1.0, 0.0
-        fs.params_ic.radius, fs.params_ic.amplitude = 0.6, 0.01
         fs._assign_steady_state(u0.copy(), p0.copy())
-        fs.initialize_time_stepping()
+        # initialize ON the leading unstable mode (synthesized artifact):
+        # the closed-vs-open contrast then measures the subspace the
+        # controller targets instead of stable transients that swamp it
+        # at this horizon
+        mode = np.load(_CONTROLLERS / "pinball_mode_re30.npz")
+        fs.params_ic.amplitude = 0.0
+        fs.initialize_time_stepping(
+            ic=1e-2 * np.asarray(mode["v_re"], dtype=float))
         K = (Controller.from_file(_CONTROLLERS / "pinball_lqg_re30.mat")
              if closed else None)
         for _ in range(n_steps):

@@ -65,21 +65,34 @@ fs._assign_steady_state(d["U0"], d["P0"])
 log.info("loaded committed base flow %s", base.name)
 
 rom_cache = PKG / "_controllers" / f"cavity_rom_re{RE:g}.npz"
+mode_cache = PKG / "_controllers" / f"cavity_mode_re{RE:g}.npz"
+a = e = None
+
+
+def _operators():
+    global a, e
+    if a is None:
+        t1 = time.time()
+        og = OperatorGetter(fs)
+        a_, e_, b, c = og.get_all(autodiff=False, u_ctrl=[0.0])
+        a, e = a_, e_
+        b = np.atleast_2d(np.asarray(b))
+        if b.shape[0] != n:
+            b = b.T
+        c = np.atleast_2d(np.asarray(c))
+        log.info("operators: A %s nnz %d, B %s, C %s (%.0fs)",
+                 a.shape, a.nnz, b.shape, c.shape, time.time() - t1)
+        _operators.bc = (b, c)
+    return a, e, *_operators.bc
+
+
 if rom_cache.exists():
     dd = np.load(rom_cache)
     rom = StateSpace(dd["A"], dd["B"], dd["C"])
     kept = dd["kept"]
     log.info("loaded cached ROM %s", rom_cache.name)
 else:
-    t1 = time.time()
-    og = OperatorGetter(fs)
-    a, e, b, c = og.get_all(autodiff=False, u_ctrl=[0.0])
-    b = np.atleast_2d(np.asarray(b))
-    if b.shape[0] != n:
-        b = b.T
-    c = np.atleast_2d(np.asarray(c))
-    log.info("operators: A %s nnz %d, B %s, C %s (%.0fs)",
-             a.shape, a.nnz, b.shape, c.shape, time.time() - t1)
+    a, e, b, c = _operators()
     # Shifts bracket the four documented unstable pairs; k_per_shift=4
     # pulls in the nearby stable branch members as well so the ROM sees
     # some of the spillover targets.
@@ -93,6 +106,30 @@ else:
     np.savez_compressed(rom_cache, A=np.asarray(rom.A), B=np.asarray(rom.B),
                         C=np.asarray(rom.C), kept=np.asarray(kept))
     log.info("ROM built (%.0fs)", time.time() - t2)
+
+if not mode_cache.exists():
+    # Leading unstable eigenmode shape (mixed up vector, f32): the
+    # disturbance-rejection demos/tests initialize WITH this mode so the
+    # closed-vs-open energy comparison measures the unstable subspace the
+    # controller targets, not the stable transient a generic Gaussian
+    # bump mostly excites (its growth/decay contrast at a 400-step
+    # horizon was measured unobservable — round 5).
+    from flowcontrol_tpu.utils.linalg import get_mat_vp_shift_invert
+
+    a, e, _, _ = _operators()
+    t3 = time.time()
+    vals, vecs = get_mat_vp_shift_invert(a, e, n=2, sigma=0.85 + 10.9j)
+    i0 = int(np.argmax(vals.real))
+    v = vecs[:, i0]
+    v = v / np.linalg.norm(v)
+    np.savez_compressed(
+        mode_cache, eig=np.complex128(vals[i0]),
+        v_re=np.asarray(v.real, dtype=np.float32),
+        v_im=np.asarray(v.imag, dtype=np.float32),
+    )
+    log.info("leading mode %.4f%+.4fj exported -> %s (%.0fs)",
+             vals[i0].real, vals[i0].imag, mode_cache.name,
+             time.time() - t3)
 
 Ai, Bi, Cr = np.asarray(rom.A), np.asarray(rom.B), np.asarray(rom.C)
 rom_eigs = np.linalg.eigvals(Ai)

@@ -163,6 +163,29 @@ rom_eigs = np.linalg.eigvals(Ai)
 log.info("ROM order %d (%.0fs); kept eigs %s", Ai.shape[0],
          time.time() - t2, np.round(np.sort_complex(kept), 4))
 
+mode_cache = PKG / "_controllers" / f"pinball_mode_re{RE:g}.npz"
+if not mode_cache.exists():
+    # Leading unstable eigenmode shape (see cavity_feedback_synth.py:
+    # rejection demos/tests initialize with it so the closed-vs-open
+    # energy contrast measures the controlled subspace)
+    from flowcontrol_tpu.utils.linalg import get_mat_vp_shift_invert
+
+    t3 = time.time()
+    best_v, best_l = None, None
+    for sig in (0.05 + 0.55j, 0.05 + 0.0j):
+        vals, vecs = get_mat_vp_shift_invert(a, e, n=2, sigma=sig)
+        i0 = int(np.argmax(vals.real))
+        if best_l is None or vals[i0].real > best_l.real:
+            best_l, best_v = vals[i0], vecs[:, i0]
+    v = best_v / np.linalg.norm(best_v)
+    np.savez_compressed(
+        mode_cache, eig=np.complex128(best_l),
+        v_re=np.asarray(v.real, dtype=np.float32),
+        v_im=np.asarray(v.imag, dtype=np.float32),
+    )
+    log.info("leading mode %.4f%+.4fj exported -> %s (%.0fs)",
+             best_l.real, best_l.imag, mode_cache.name, time.time() - t3)
+
 # ── LQG on the ROM ───────────────────────────────────────────────────────────
 # LQG guarantees CLOSED-LOOP stability, not compensator stability; a
 # marginally-unstable compensator is still undesirable for standalone
@@ -179,16 +202,30 @@ def try_weights(qx, ru, qw, rv):
             np.linalg.eigvals(acl).real.max())
 
 best = None
+# The high-Re rows (cheap control, heavy measurement noise) matter at
+# Re=100: the multi-unstable-mode plant admits no stable compensator in
+# this family, and aggressive weights push K's unstable pole past +1000
+# with gains to match — (0.1, 1000, *, 100) brings it to ~+52 with ~50x
+# smaller gains at equal closed-loop damping (offline sweep, round 5).
 for (qx, ru, qw, rv) in [(1.0, 1.0, 1.0, 1e-2), (1.0, 1.0, 1.0, 1e-1),
                          (10.0, 1.0, 1.0, 1e-1), (1.0, 10.0, 1.0, 1e-1),
-                         (1.0, 1.0, 10.0, 1.0)]:
+                         (1.0, 1.0, 10.0, 1.0), (0.1, 1e3, 0.1, 1e2),
+                         (0.1, 1e3, 1.0, 1e3), (0.1, 1e2, 1.0, 1e2)]:
     k, k_re, cl_re = try_weights(qx, ru, qw, rv)
     log.info("weights qx=%g ru=%g qw=%g rv=%g: K max Re %.4f, "
              "closed-loop max Re %.4f", qx, ru, qw, rv, k_re, cl_re)
-    cand = (k_re >= 0, cl_re, k, k_re)  # prefer stable K, then damping
-    if best is None or cand[:2] < best[:2]:
+    if cl_re >= -1e-3:
+        continue  # not meaningfully stabilizing
+    # prefer a stable compensator; failing that, the LEAST unstable one
+    # among adequately-damped candidates (cl < -0.015) — a barely-better
+    # cl_re is not worth a 20x wilder K (spillover risk on the unmodeled
+    # modes of the full plant)
+    adequate = cl_re < -0.015
+    cand = (k_re >= 0, not adequate, max(k_re, 0.0), cl_re, k)
+    if best is None or cand[:4] < best[:4]:
         best = cand
-_, cl_max_re, klqg, k_re = best
+_, _, _, cl_max_re, klqg = best
+k_re = best[2]
 assert cl_max_re < 0, f"no stabilizing weight setting found ({cl_max_re})"
 cl_eigs = np.array([cl_max_re])
 log.info("selected controller: K max Re %.4f, closed-loop max Re %.4f "

@@ -12,7 +12,10 @@ where a single chip runs out.
 
 Usage:
   python tools/scale_big.py sizes          # print candidate mesh sizes
-  python tools/scale_big.py run [density]  # full run (default density 12)
+  python tools/scale_big.py run [density]  # full run (default density 29)
+
+Measured sizes (graded cylinder mesh, round 5): density 12 -> 87,548
+dofs; dofs grow ~density^2, so >=500k needs density ~29.
 """
 import logging
 import sys
@@ -48,14 +51,14 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        for d in (8.0, 10.0, 12.0, 14.0):
+        for d in (12.0, 24.0, 29.0, 32.0):
             t0 = time.time()
             fs = build(d, "host_lu", "f64", num_steps=1)
             log.info("density %.0f: %d cells, %d dofs (%.0fs)",
                      d, fs.mesh.num_cells, fs.space.n_dofs, time.time() - t0)
         return
 
-    density = float(sys.argv[2]) if len(sys.argv) > 2 else 12.0
+    density = float(sys.argv[2]) if len(sys.argv) > 2 else 29.0
     t0 = time.time()
     fs = build(density, "dense_lu", "f32")
     n = fs.space.n_dofs
