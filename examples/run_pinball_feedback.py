@@ -67,8 +67,12 @@ def main(num_steps: int = 400, closed_loop: bool = True, RE: float = 30.0,
     if mode_path.exists():
         mode = np.load(mode_path)
         fs.params_ic.amplitude = 0.0
-        ic = 1e-2 * np.asarray(mode["v_re"], dtype=float)
-        log.info("IC = 1e-2 x Re(v) of mode %s", mode["eig"])
+        # amplitude keeps the closed-leg spillover transient linear (the
+        # weakly-controllable unstable modes cost an upfront energy bump
+        # of ~1.5e3x at Re=30 / ~5e4x at Re=100 before the loop wins)
+        amp = 2e-4 if RE >= 80.0 else 1e-3
+        ic = amp * np.asarray(mode["v_re"], dtype=float)
+        log.info("IC = %g x Re(v) of mode %s", amp, mode["eig"])
     else:
         fs.params_ic.xloc, fs.params_ic.yloc = 1.0, 0.0
         fs.params_ic.radius, fs.params_ic.amplitude = 0.6, 0.01

@@ -25,7 +25,11 @@ from flowcontrol_tpu.utils.statespace import StateSpace, c2d_zoh, ss_inv
 
 
 def read_matfile(file) -> dict:
-    """Read A, B, C, D matrices from a .mat file (ref: lticontrol.read_matfile)."""
+    """Read A, B, C, D matrices from a .mat file (ref: lticontrol.read_matfile).
+
+    An optional scalar ``dt`` marks a DISCRETE-native artifact (sampled-data
+    designs from utils.lticontrol.dlqg_regulator): A..D are then the
+    already-discretized matrices valid at exactly that sampling period."""
     import scipy.io as sio
 
     data = sio.loadmat(str(file))
@@ -34,6 +38,8 @@ def read_matfile(file) -> dict:
         if key not in data:
             raise KeyError(f"matrix {key} missing from {file}")
         out[key] = np.atleast_2d(np.asarray(data[key], dtype=np.float64))
+    if "dt" in data:
+        out["dt"] = float(np.asarray(data["dt"]).reshape(-1)[0])
     return out
 
 
@@ -46,7 +52,8 @@ def write_matfile(file, sys: StateSpace) -> None:
 class Controller(StateSpace):
     """Continuous-time LTI controller with internal state and ZOH stepping."""
 
-    def __init__(self, A, B, C, D, file: Path | None = None, x0=None):
+    def __init__(self, A, B, C, D, file: Path | None = None, x0=None,
+                 dt: float | None = None):
         super().__init__(A, B, C, D)
         self.file = file
         self.x = (
@@ -55,22 +62,36 @@ class Controller(StateSpace):
             else np.asarray(x0, dtype=np.float64).reshape(self.nstates)
         )
         self._dt = None
+        #: non-None = DISCRETE-native controller: A..D are already the
+        #: sampled-data matrices, valid at exactly this period
+        self.native_dt = dt
 
     # ── Constructors ─────────────────────────────────────────────────────────
 
     @classmethod
     def from_file(cls, file, x0=None) -> "Controller":
         m = read_matfile(file)
-        return cls(m["A"], m["B"], m["C"], m["D"], x0=x0, file=Path(file))
+        return cls(m["A"], m["B"], m["C"], m["D"], x0=x0, file=Path(file),
+                   dt=m.get("dt"))
 
     @classmethod
-    def from_matrices(cls, A, B, C, D, file=None, x0=None) -> "Controller":
-        return cls(A, B, C, D, x0=x0, file=file)
+    def from_matrices(cls, A, B, C, D, file=None, x0=None,
+                      dt: float | None = None) -> "Controller":
+        return cls(A, B, C, D, x0=x0, file=file, dt=dt)
 
     # ── Stepping ─────────────────────────────────────────────────────────────
 
     def _discretize(self, dt: float) -> None:
-        self._Ad, self._Bd, self._Cd, self._Dd = c2d_zoh(self, dt)
+        if self.native_dt is not None:
+            if abs(dt - self.native_dt) > 1e-9 * max(abs(dt), 1e-30):
+                raise ValueError(
+                    f"discrete-native controller sampled at dt="
+                    f"{self.native_dt}, cannot step at dt={dt}"
+                )
+            self._Ad, self._Bd = np.asarray(self.A), np.asarray(self.B)
+            self._Cd, self._Dd = np.asarray(self.C), np.asarray(self.D)
+        else:
+            self._Ad, self._Bd, self._Cd, self._Dd = c2d_zoh(self, dt)
         self._dt = dt
 
     def step(self, y, dt: float) -> np.ndarray:
@@ -89,7 +110,8 @@ class Controller(StateSpace):
 
     def discrete(self, dt: float, dtype=None):
         """(Ad, Bd, Cd, Dd) numpy tuple for device-side fused stepping."""
-        ad, bd, cd, dd = c2d_zoh(self, dt)
+        self._discretize(dt)  # honors discrete-native artifacts
+        ad, bd, cd, dd = self._Ad, self._Bd, self._Cd, self._Dd
         if dtype is not None:
             ad, bd, cd, dd = (m.astype(dtype) for m in (ad, bd, cd, dd))
         return ad, bd, cd, dd

@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 logger = logging.getLogger(__name__)
 
 _RC = 128  # cells per block (= cellwindows._RC)
+_WCHUNK = 1024  # mask-tile window chunk: (1024, 768) int32+bf16 < 4.5 MB VMEM
 
 
 def _split3(x, axis=0):
@@ -69,16 +70,27 @@ def _nl_kernel(rel_ref, uwin_ref, wq_ref, dphi2_ref, phi2_ref, phi2t_ref,
     """
     m = n_loc * _RC  # 768 picks
     rel = rel_ref[0]  # (1, m) int32
-    # one-hot tile, built once, used for pick AND scatter: ohT[wi, m]
-    wi = lax.broadcasted_iota(jnp.int32, (w, m), 0)
-    oht = (wi == jnp.broadcast_to(rel, (w, m))).astype(jnp.bfloat16)
+    # The (w, m) one-hot tile is built in W-CHUNKS so VMEM stays bounded
+    # at any window width (a full mask at the 302k pinball's w overflows
+    # the ~16 MB VMEM and faults the kernel; the chunk is rebuilt for the
+    # scatter — mask generation is VPU-cheap, holding it is not).
+    wb = w // _RC
+    wc = _RC * max(d for d in range(1, wb + 1)
+                   if wb % d == 0 and d * _RC <= _WCHUNK)
+    rel_b = jnp.broadcast_to(rel, (wc, m))
+
+    def _oht(k):
+        wi = lax.broadcasted_iota(jnp.int32, (wc, m), 0) + k * wc
+        return (wi == rel_b).astype(jnp.bfloat16)
 
     # pick: u_e6 rows = [hi_x, hi_y, lo_x, lo_y, lo2_x, lo2_y] @ oht
     uwin6 = _split3(uwin_ref[0], axis=0)  # (6, w) bf16
-    u_e6 = lax.dot_general(
-        uwin6, oht, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (6, m)
+    u_e6 = jnp.zeros((6, m), jnp.float32)
+    for k in range(w // wc):
+        u_e6 = u_e6 + lax.dot_general(
+            uwin6[:, k * wc:(k + 1) * wc], _oht(k), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     u_e = u_e6[0:2] + u_e6[2:4] + u_e6[4:6]  # (2, m) == u[rel] to 2^-24
 
     wq = wq_ref[0]          # (nq, 128)
@@ -110,11 +122,14 @@ def _nl_kernel(rel_ref, uwin_ref, wq_ref, dphi2_ref, phi2_ref, phi2t_ref,
     # scatter: yw[d, wi] = sum_m r_e[d, m] ohT[wi, m] — same 3-term split,
     # f32 accumulation over the (multiple) cells hitting each window slot
     r_e6 = _split3(r_e, axis=0)  # (6, m) bf16
-    yw6 = lax.dot_general(
-        r_e6, oht, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (6, w)
-    out_ref[0] = yw6[0:2] + yw6[2:4] + yw6[4:6]
+    for k in range(w // wc):
+        yw6 = lax.dot_general(
+            r_e6, _oht(k), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (6, wc)
+        out_ref[0, :, k * wc:(k + 1) * wc] = (
+            yw6[0:2] + yw6[2:4] + yw6[4:6]
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("w", "n_loc", "nq"))

@@ -297,6 +297,42 @@ def lqg_regulator(g: StateSpace, qx: float, ru: float, qw: float, rv: float):
     return klqg, np.asarray(f), np.asarray(l)
 
 
+def dlqg_regulator(g: StateSpace, dt: float, qx=1.0, ru=1.0, qw=1.0,
+                   rv=1.0, Q=None, Qw=None):
+    """Sampled-data LQG: exact ZOH discretization of ``g`` then the two
+    DISCRETE Riccati equations, so the sampled closed loop is stable by
+    the discrete separation principle.
+
+    Continuous-LQG + per-loop ZOH (``lqg_regulator`` -> Controller) fails
+    when the compensator carries fast unstable poles: the pinball Re=100
+    design (K max Re +51.6, dt 5e-3, |lam_K| dt ~ 0.26) is continuous-
+    stable but its sampled interconnection has spectral radius > 1
+    (measured, round 5). This synthesizes directly in discrete time.
+
+    ``Q``/``Qw`` override the scalar qx/qw with full state-weight
+    matrices (e.g. unstable-subspace-focused). Returns (Kd, F, L): the
+    DISCRETE predictor-form compensator
+    ``xk+ = (Ad - Bd F - L Cd) xk + L y,  u = -F xk`` as a StateSpace
+    whose matrices are the sampled ones (deploy via
+    ``Controller.from_matrices(..., dt=dt)`` or export with ``dt``).
+    """
+    from scipy.linalg import solve_discrete_are
+
+    ad, bd, cd, dd = (np.asarray(m) for m in c2d_zoh(g, dt))
+    if np.any(dd):
+        raise ValueError("dlqg_regulator assumes D=0")
+    n = ad.shape[0]
+    p, m = dd.shape
+    q = qx * np.eye(n) if Q is None else np.asarray(Q)
+    qn = qw * np.eye(n) if Qw is None else np.asarray(Qw)
+    pf = solve_discrete_are(ad, bd, q, ru * np.eye(m))
+    f = np.linalg.solve(ru * np.eye(m) + bd.T @ pf @ bd, bd.T @ pf @ ad)
+    pl = solve_discrete_are(ad.T, cd.T, qn, rv * np.eye(p))
+    l = pl @ cd.T @ np.linalg.inv(cd @ pl @ cd.T + rv * np.eye(p))
+    kd = StateSpace(ad - bd @ f - l @ cd, l, -f, np.zeros((m, p)))
+    return kd, np.asarray(f), np.asarray(l)
+
+
 # ── H∞ / H2 synthesis (two-Riccati DGKF) ─────────────────────────────────────
 
 
@@ -979,16 +1015,27 @@ def compare_controllers(k1: StateSpace, k2: StateSpace) -> dict:
     }
 
 
-def export_controller(filename, k: StateSpace, w=None) -> None:
+def export_controller(filename, k: StateSpace, w=None,
+                      dt: float | None = None) -> None:
     """Export frequency response and matrices of K to .mat
-    (ref: lticontrol.py:823-828)."""
+    (ref: lticontrol.py:823-828). ``dt`` marks a DISCRETE-native design
+    (dlqg_regulator): the scalar is stored alongside A..D and the
+    frequency response is evaluated on the unit circle at z=e^{jw dt}."""
     import scipy.io as sio
 
     w = np.logspace(-2, 3, 200) if w is None else np.asarray(w)
-    h = k.frequency_response(w)
+    if dt is None:
+        h = k.frequency_response(w)
+    else:
+        a, b, c, d = (np.asarray(m) for m in (k.A, k.B, k.C, k.D))
+        n = a.shape[0]
+        h = np.stack([
+            c @ np.linalg.solve(np.exp(1j * wi * dt) * np.eye(n) - a, b) + d
+            for wi in w
+        ])
     mag = np.abs(h)
     phase = np.angle(h)
-    sio.savemat(
-        str(filename),
-        dict(mag=mag, phase=phase, w=w, A=k.A, B=k.B, C=k.C, D=k.D),
-    )
+    out = dict(mag=mag, phase=phase, w=w, A=k.A, B=k.B, C=k.C, D=k.D)
+    if dt is not None:
+        out["dt"] = float(dt)
+    sio.savemat(str(filename), out)

@@ -316,16 +316,19 @@ def test_stock_cavity_closed_loop_rejection(tmp_path):
     """The Re=7500 cavity loop CLOSED — the configuration the reference
     defines but never exercises (sensor/actuator pair:
     ref: src/examples/cavity/cavityflowsolver.py:254-268; its example is
-    open-loop, ref: run_cavity_example.py:73-75). Identical small ICs, 400
-    steps (T=0.16) through the production dense_lu/f32 path at 235k dofs:
-    the LQG synthesized on the modal ROM of the 4 documented unstable
-    pairs (max growth rate +0.889, ref: compute_eigenvalues.py:53-57)
-    must end with less perturbation energy than the open-loop run."""
+    open-loop, ref: run_cavity_example.py:73-75). Identical
+    leading-unstable-mode ICs, 1500 steps (T=0.6, past the loop's
+    engagement transient — ROM-certified closed/open energy 0.62 there)
+    through the production dense_lu/f32 path at 235k dofs: the
+    sampled-data LQG synthesized on the modal ROM of the 4 documented
+    unstable pairs (max growth rate +0.889,
+    ref: compute_eigenvalues.py:53-57) must end with less perturbation
+    energy than the open-loop run, which grows e^(2*0.889*0.6) ~ 2.9x."""
     from flowcontrol_tpu.core.controller import Controller
     from flowcontrol_tpu.models.cavity import CavityFlowSolver
 
     pkg = Path(__file__).resolve().parents[2] / "flowcontrol_tpu" / "models"
-    n_steps = 400
+    n_steps = 1500
     des = {}
     for closed in (False, True):
         fs = CavityFlowSolver.make_default(
@@ -357,5 +360,6 @@ def test_stock_cavity_closed_loop_rejection(tmp_path):
         de = fs.timeseries["dE"].to_numpy()
         assert np.isfinite(de).all()
         des["closed" if closed else "open"] = de
-    assert des["closed"][-1] < 0.95 * des["open"][-1], (
+    # ROM-certified margin at this horizon is 0.62; assert with headroom
+    assert des["closed"][-1] < 0.8 * des["open"][-1], (
         des["closed"][-1], des["open"][-1])

@@ -162,3 +162,30 @@ def test_ss_inv_identity():
     gi = ss_inv(g)
     w = np.array([0.5, 2.0])
     assert np.allclose(g.frequency_response(w) * gi.frequency_response(w), 1.0)
+
+
+def test_discrete_native_controller_roundtrip(tmp_path):
+    """Controllers exported with a sampling period (dlqg_regulator
+    artifacts) step with their stored matrices verbatim, refuse a
+    mismatched dt, and survive the .mat roundtrip."""
+    import pytest
+
+    from flowcontrol_tpu.utils.lticontrol import export_controller
+    from flowcontrol_tpu.utils.statespace import StateSpace
+
+    ad = np.array([[0.9, 0.1], [0.0, 0.8]])
+    bd = np.array([[0.0], [1.0]])
+    cd = np.array([[1.0, 0.0]])
+    k = StateSpace(ad, bd, cd, np.zeros((1, 1)))
+    f = tmp_path / "kd.mat"
+    export_controller(f, k, dt=0.01)
+    K = Controller.from_file(f)
+    assert K.native_dt == 0.01
+    # the stored matrices ARE the discrete step (no ZOH re-integration)
+    u1 = K.step(y=np.array([1.0]), dt=0.01)
+    assert np.allclose(u1, cd @ np.zeros(2))
+    assert np.allclose(K.x, bd[:, 0])
+    a2, b2, c2, d2 = K.discrete(0.01)
+    assert np.allclose(a2, ad) and np.allclose(b2, bd)
+    with pytest.raises(ValueError):
+        K.step(y=np.array([1.0]), dt=0.02)

@@ -511,3 +511,36 @@ def test_anchor_balred_frequency_errors(anchors):
         smax = np.linalg.svd(resp(g, w) - resp(gr, w), compute_uv=False)[0]
         assert np.isclose(smax, e, rtol=1e-6), w
     assert max(bd["err_smax"]) <= bd["bound_2sum_tail_hsv"] * (1 + 1e-9)
+
+
+def test_dlqg_regulator_sampled_stability():
+    """dlqg_regulator designs in discrete time: the exact sampled
+    interconnection is stable by the discrete separation principle, even
+    at a dt where a fast compensator's per-loop ZOH would misbehave (the
+    failure mode measured on the pinball Re=100 design, round 5)."""
+    from scipy.linalg import expm
+
+    rng = np.random.default_rng(3)
+    # unstable 4-state plant: one unstable complex pair + damped pair
+    a = np.array([[0.2, 1.5, 0, 0], [-1.5, 0.2, 0, 0],
+                  [0, 0, -0.4, 3.0], [0, 0, -3.0, -0.4]])
+    b = rng.standard_normal((4, 1))
+    c = rng.standard_normal((2, 4))
+    g = ltc.ss(a, b, c, np.zeros((2, 1)))
+    dt = 0.05
+    kd, F, L = ltc.dlqg_regulator(g, dt, qx=1.0, ru=1.0, qw=1.0, rv=0.1)
+    ad = expm(a * dt)
+    bd = np.linalg.solve(a, (ad - np.eye(4))) @ b
+    m = np.block([
+        [ad, bd @ np.asarray(kd.C)],
+        [np.asarray(kd.B) @ c, np.asarray(kd.A)],
+    ])
+    sr = np.abs(np.linalg.eigvals(m)).max()
+    assert sr < 1.0, sr
+    # and it actually regulates: closed beats open from a plant IC
+    x = np.zeros(8); x[0] = 1.0
+    xo = x[:4].copy()
+    for _ in range(600):
+        x = m @ x
+        xo = ad @ xo
+    assert np.sum(x[:4] ** 2) < 1e-3 * np.sum(xo ** 2)

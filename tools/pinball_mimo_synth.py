@@ -186,56 +186,65 @@ if not mode_cache.exists():
     log.info("leading mode %.4f%+.4fj exported -> %s (%.0fs)",
              best_l.real, best_l.imag, mode_cache.name, time.time() - t3)
 
-# ── LQG on the ROM ───────────────────────────────────────────────────────────
-# LQG guarantees CLOSED-LOOP stability, not compensator stability; a
-# marginally-unstable compensator is still undesirable for standalone
-# deployment, so sweep a few weight settings and prefer one whose
-# compensator is itself stable (strong stabilization) with good
-# closed-loop damping.
-def try_weights(qx, ru, qw, rv):
-    k, F, L = lqg_regulator(rom, qx=qx, ru=ru, qw=qw, rv=rv)
-    acl = np.block([
-        [Ai, Bi @ np.asarray(k.C)],
-        [np.asarray(k.B) @ Cr, np.asarray(k.A)],
-    ])
-    return (k, np.linalg.eigvals(np.asarray(k.A)).real.max(),
-            np.linalg.eigvals(acl).real.max())
+# ── sampled-data LQG (utils.lticontrol.dlqg_regulator) ──────────────────────
+# Designed in DISCRETE time at the pinball production dt so the sampled
+# loop is stable by construction — the continuous design's compensator
+# carries fast unstable poles at Re=100 (max Re +51.6) whose per-loop ZOH
+# interconnection has spectral radius > 1 (measured, round 5). State
+# weights focus on the unstable subspace: flat weights make the LQR kick
+# the well-controllable stable modes with a transient orders of magnitude
+# above the unstable content. Weights calibrated by minimizing the
+# closed/open energy-crossing step count from an unstable-mode IC
+# (Re=30: ~5.8k steps; Re=100: ~17k steps — the pinball's unstable modes
+# are weakly controllable from the rotation actuators, so the loop pays a
+# spillover price upfront and wins asymptotically).
+from scipy.linalg import expm
 
-best = None
-# The high-Re rows (cheap control, heavy measurement noise) matter at
-# Re=100: the multi-unstable-mode plant admits no stable compensator in
-# this family, and aggressive weights push K's unstable pole past +1000
-# with gains to match — (0.1, 1000, *, 100) brings it to ~+52 with ~50x
-# smaller gains at equal closed-loop damping (offline sweep, round 5).
-for (qx, ru, qw, rv) in [(1.0, 1.0, 1.0, 1e-2), (1.0, 1.0, 1.0, 1e-1),
-                         (10.0, 1.0, 1.0, 1e-1), (1.0, 10.0, 1.0, 1e-1),
-                         (1.0, 1.0, 10.0, 1.0), (0.1, 1e3, 0.1, 1e2),
-                         (0.1, 1e3, 1.0, 1e3), (0.1, 1e2, 1.0, 1e2)]:
-    k, k_re, cl_re = try_weights(qx, ru, qw, rv)
-    log.info("weights qx=%g ru=%g qw=%g rv=%g: K max Re %.4f, "
-             "closed-loop max Re %.4f", qx, ru, qw, rv, k_re, cl_re)
-    if cl_re >= -1e-3:
-        continue  # not meaningfully stabilizing
-    # prefer a stable compensator; failing that, the LEAST unstable one
-    # among adequately-damped candidates (cl < -0.015) — a barely-better
-    # cl_re is not worth a 20x wilder K (spillover risk on the unmodeled
-    # modes of the full plant)
-    adequate = cl_re < -0.015
-    cand = (k_re >= 0, not adequate, max(k_re, 0.0), cl_re, k)
-    if best is None or cand[:4] < best[:4]:
-        best = cand
-_, _, _, cl_max_re, klqg = best
-k_re = best[2]
-assert cl_max_re < 0, f"no stabilizing weight setting found ({cl_max_re})"
-cl_eigs = np.array([cl_max_re])
-log.info("selected controller: K max Re %.4f, closed-loop max Re %.4f "
-         "(open ROM max Re %.4f)", k_re, cl_max_re, rom_eigs.real.max())
+from flowcontrol_tpu.utils.lticontrol import dlqg_regulator
+
+DT = 5e-3  # pinball production dt (ref: test_pinball.py:59-65)
+nx = Ai.shape[0]
+sel = np.zeros(nx)
+off = 0
+mode_off = {}
+for lam in kept:
+    wdt = 1 if abs(lam.imag) <= 1e-6 else 2
+    mode_off[complex(lam)] = off
+    if lam.real > 0:
+        sel[off:off + wdt] = 1.0
+    off += wdt
+Q = np.diag(sel) + 1e-9 * np.eye(nx)
+Qw = np.diag(sel) + 1e-9 * np.eye(nx)
+RU = 100.0 if RE >= 80.0 else 1.0
+klqg, F, L = dlqg_regulator(rom, DT, ru=RU, rv=1e-3, Q=Q, Qw=Qw)
+
+Adp = expm(Ai * DT)
+Bdp = np.linalg.solve(Ai, (Adp - np.eye(nx))) @ Bi
+M = np.block([
+    [Adp, Bdp @ np.asarray(klqg.C)],
+    [np.asarray(klqg.B) @ Cr, np.asarray(klqg.A)],
+])
+sr = np.abs(np.linalg.eigvals(M)).max()
+assert sr < 1.0, f"sampled closed loop unstable (spectral radius {sr})"
+lam0 = kept[np.argmax(kept.real)]
+x0 = np.zeros(nx)
+x0[mode_off[complex(lam0)]] = 0.5
+z = np.concatenate([x0, np.zeros(nx)])
+zo = x0.copy()
+n_rep = 20000 if RE >= 80.0 else 8000
+for i in range(1, n_rep + 1):
+    z = M @ z
+    zo = Adp @ zo
+    if i % (n_rep // 4) == 0:
+        log.info("ROM closed/open energy at N=%d: %.4g", i,
+                 np.sum(z[:nx] ** 2) / np.sum(zo ** 2))
 
 out = PKG / "_controllers" / f"pinball_lqg_re{RE:g}.mat"
 out.parent.mkdir(exist_ok=True)
-export_controller(out, klqg)
-log.info("controller exported: %s (%d states, %d inputs, %d outputs)",
+export_controller(out, klqg, dt=DT)
+log.info("controller exported: %s (%d states, %d inputs, %d outputs, "
+         "discrete dt=%g, sampled spectral radius %.5f)",
          out, np.asarray(klqg.A).shape[0], np.asarray(klqg.B).shape[1],
-         np.asarray(klqg.C).shape[0])
-print(f"DONE re={RE:g} rom={Ai.shape[0]} states "
-      f"cl_max_re={cl_eigs.real.max():.4f} open_max_re={rom_eigs.real.max():.4f}")
+         np.asarray(klqg.C).shape[0], DT, sr)
+print(f"DONE re={RE:g} rom={Ai.shape[0]} states sampled_sr={sr:.5f} "
+      f"open_max_re={rom_eigs.real.max():.4f}")
