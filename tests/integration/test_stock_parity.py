@@ -317,18 +317,26 @@ def test_stock_cavity_closed_loop_rejection(tmp_path):
     defines but never exercises (sensor/actuator pair:
     ref: src/examples/cavity/cavityflowsolver.py:254-268; its example is
     open-loop, ref: run_cavity_example.py:73-75). Identical
-    leading-unstable-mode ICs, 1500 steps (T=0.6, past the loop's
-    engagement transient — ROM-certified closed/open energy 0.62 there)
-    through the production dense_lu/f32 path at 235k dofs: the
-    sampled-data LQG synthesized on the modal ROM of the 4 documented
-    unstable pairs (max growth rate +0.889,
+    leading-unstable-mode ICs, 4000 steps (T=1.6, past the low-gain
+    loop's engagement) through the production dense_lu/f32 path at 235k
+    dofs: the sampled-data LQG synthesized on the modal ROM of the 4
+    documented unstable pairs (max growth rate +0.889,
     ref: compute_eigenvalues.py:53-57) must end with less perturbation
-    energy than the open-loop run, which grows e^(2*0.889*0.6) ~ 2.9x."""
+    energy than the open-loop run. PLANT-VALIDATED on TPU (round 5):
+    open grows 17.15x (theory e^(2*0.888*1.6)=17.1), closed ends at
+    0.637x the open energy with a bounded transient.
+
+    Wall-time note: 2 x 4000 235k-dof steps is ~3 min of chip time on a
+    TPU and hours on one CPU core; FC_REJECTION_STEPS overrides the
+    horizon for CPU sanity runs (the energy assertion is only certified
+    at the calibrated 4000)."""
+    import os
+
     from flowcontrol_tpu.core.controller import Controller
     from flowcontrol_tpu.models.cavity import CavityFlowSolver
 
     pkg = Path(__file__).resolve().parents[2] / "flowcontrol_tpu" / "models"
-    n_steps = 1500
+    n_steps = int(os.environ.get("FC_REJECTION_STEPS", 4000))
     des = {}
     for closed in (False, True):
         fs = CavityFlowSolver.make_default(
@@ -360,6 +368,6 @@ def test_stock_cavity_closed_loop_rejection(tmp_path):
         de = fs.timeseries["dE"].to_numpy()
         assert np.isfinite(de).all()
         des["closed" if closed else "open"] = de
-    # ROM-certified margin at this horizon is 0.62; assert with headroom
+    # plant-measured margin at this horizon is 0.637; assert with headroom
     assert des["closed"][-1] < 0.8 * des["open"][-1], (
         des["closed"][-1], des["open"][-1])
